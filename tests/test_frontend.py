@@ -1,0 +1,116 @@
+"""Log-mel front-end contract tests.
+
+Validates the golden NumPy implementation (the numerical contract of ref
+src/main.rs:407-509) against transformers' WhisperFeatureExtractor as an
+independent oracle, and the JAX/XLA implementation against the golden one.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.frontend import golden
+from whisper_tpu.frontend.mel import log_mel, log_mel_jax
+from whisper_tpu.frontend.golden import reflect_pad, num_frames
+
+
+def _speechy_audio(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic speech-like signal: a few chirps + noise floor."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / 16000.0
+    x = (
+        0.3 * np.sin(2 * np.pi * (200 + 40 * np.sin(2 * np.pi * 1.3 * t)) * t)
+        + 0.2 * np.sin(2 * np.pi * 850 * t)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return (x * 0.5).astype(np.float32)
+
+
+class TestGoldenVsHF:
+    """transformers' WhisperFeatureExtractor computes the same Whisper
+    log-mel spec (reflect pad, drop last frame, Slaney fb, log10/clamp/norm),
+    so it is a fully independent oracle for our golden implementation."""
+
+    @pytest.mark.parametrize("n_samples", [480_000, 160_000])
+    def test_matches_feature_extractor(self, n_samples):
+        transformers = pytest.importorskip("transformers")
+        fe = transformers.WhisperFeatureExtractor(
+            feature_size=80, sampling_rate=16000, hop_length=160,
+            chunk_length=30, n_fft=400,
+        )
+        audio = _speechy_audio(n_samples)
+        # HF pads/truncates to exactly 30 s; feed 30 s to compare 1:1.
+        padded = np.zeros(480_000, dtype=np.float32)
+        padded[: len(audio)] = audio
+        ours = golden.log_mel_golden(padded)
+        theirs = fe(
+            padded, sampling_rate=16000, return_tensors="np", padding="do_not_pad"
+        )["input_features"][0]
+        assert ours.shape == theirs.shape == (80, 3000)
+        np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=0)
+
+    def test_mel_filterbank_matches_hf(self):
+        pytest.importorskip("transformers")
+        from transformers.audio_utils import mel_filter_bank
+
+        fb_hf = mel_filter_bank(
+            num_frequency_bins=201, num_mel_filters=80, min_frequency=0.0,
+            max_frequency=8000.0, sampling_rate=16000, norm="slaney",
+            mel_scale="slaney",
+        ).T  # HF returns [n_freq, n_mels]
+        fb = golden.build_mel_filterbank(n_mels=80)
+        np.testing.assert_allclose(fb, fb_hf, atol=1e-6)
+
+
+class TestGoldenInternals:
+    def test_reflect_pad_matches_numpy(self):
+        x = np.arange(1000, dtype=np.float32)
+        ours = reflect_pad(x)
+        theirs = np.pad(x, 200, mode="reflect")
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_reflect_pad_short_signal(self):
+        # Reference behavior for len < 2: trailing zeros only (src/main.rs:430-434).
+        x = np.array([0.5], dtype=np.float32)
+        out = reflect_pad(x)
+        assert out.shape == (401,)
+        assert out[0] == 0.5 and np.all(out[1:] == 0)
+
+    @pytest.mark.parametrize(
+        "n,expected",
+        [(480_000, 3000), (160_000, 1000), (160, 1), (1, 1), (399, 2)],
+    )
+    def test_num_frames(self, n, expected):
+        # padded = n + 400; frames = 1 + (padded-400)//160, then drop last.
+        assert num_frames(n) == expected
+
+    def test_30s_gives_3000_frames(self):
+        audio = _speechy_audio(480_000)
+        mel = golden.log_mel_golden(audio)
+        assert mel.shape == (80, 3000)
+        # Normalization range: after (x+4)/4 with clamp at max-8, values
+        # lie within [max-2, max] in normalized units.
+        assert mel.max() <= 2.0 and mel.min() >= mel.max() - 2.0
+
+
+class TestJaxVsGolden:
+    @pytest.mark.parametrize("n_samples", [480_000, 123_457, 16_000])
+    def test_exact_length(self, n_samples):
+        audio = _speechy_audio(n_samples, seed=n_samples % 97)
+        want = golden.log_mel_golden(audio)
+        got = np.asarray(log_mel(audio))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+    def test_bucketed_padding_frames_are_zero_and_valid_match(self):
+        audio = _speechy_audio(160_000)  # 1000 frames
+        want = golden.log_mel_golden(audio)
+        got = np.asarray(log_mel(audio, bucket=1500))
+        assert got.shape == (80, 1500)
+        np.testing.assert_allclose(got[:, :1000], want, atol=3e-5, rtol=0)
+        assert np.all(got[:, 1000:] == 0.0)
+
+    def test_n_mels_128(self):
+        audio = _speechy_audio(48_000)
+        want = golden.log_mel_golden(audio, n_mels=128)
+        got = np.asarray(log_mel(audio, n_mels=128))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)

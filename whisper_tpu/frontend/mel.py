@@ -1,0 +1,134 @@
+"""JAX/XLA log-mel front end (TPU compute path).
+
+Implements the exact numerical contract of
+:mod:`whisper_tpu.frontend.golden` (ref src/main.rs:407-509) as a jittable,
+static-shape function designed for the MXU:
+
+- framing is expressed as three strided slices (hop=160 divides the signal
+  into rows; a 400-sample window spans 2.5 rows), avoiding gathers;
+- the 400-point real FFT becomes two matmuls against constant DFT cosine /
+  sine matrices [400, 201] — at whisper scale this is ~10 GFLOP per 300 s of
+  audio, which the MXU does in well under a millisecond, and it lets XLA fuse
+  window/power/mel into the surrounding ops;
+- the mel projection is a [*, 201] @ [201, n_mels] matmul;
+- the global max / clamp / affine normalization is a cheap fused reduction.
+
+Invalid (padding) frames are excluded from the global max and zeroed in the
+output so a bucketed static frame count yields results identical to the
+reference's dynamic frame count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.frontend import golden
+from whisper_tpu.frontend.golden import HOP, N_FFT, N_FREQ, WIN
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """Constant real-DFT matrices (cos, -sin), each [N_FFT, N_FREQ] float32.
+
+    power[k] = (frame @ cos)[k]^2 + (frame @ msin)[k]^2  ==  |rfft(frame)[k]|^2
+    Built in float64 then cast, so matrix entries are correctly rounded.
+    """
+    n = np.arange(N_FFT, dtype=np.float64)[:, None]
+    k = np.arange(N_FREQ, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / N_FFT
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(n_mels: int):
+    """Host NumPy constants (safe to cache across jit traces)."""
+    cos_m, sin_m = dft_matrices()
+    window = golden.hann_window_periodic(WIN)
+    fb = golden.build_mel_filterbank(n_mels=n_mels)  # [n_mels, 201]
+    return (
+        window,
+        cos_m * window[:, None],  # fold window into DFT matrices
+        sin_m * window[:, None],
+        np.ascontiguousarray(fb.T),  # [201, n_mels]
+    )
+
+
+def frame_signal(padded: jax.Array, n_frames: int) -> jax.Array:
+    """Extract [n_frames, WIN] frames with hop=HOP from a padded signal.
+
+    Uses three strided row-views instead of a gather: with hop=160 and
+    win=400, frame f = rows f, f+1 and the first 80 samples of row f+2 of the
+    [*, 160] reshape.
+    """
+    need = (n_frames + 2) * HOP  # rows f .. f+2 must exist for every frame
+    pad_amount = max(0, need - padded.shape[0])
+    if pad_amount:
+        padded = jnp.pad(padded, (0, pad_amount))
+    rows = padded[: (n_frames + 2) * HOP].reshape(n_frames + 2, HOP)
+    a0 = rows[:n_frames]          # samples [160f, 160f+160)
+    a1 = rows[1 : n_frames + 1]   # samples [160f+160, 160f+320)
+    a2 = rows[2 : n_frames + 2, : WIN - 2 * HOP]  # samples [160f+320, 160f+400)
+    return jnp.concatenate([a0, a1, a2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+def log_mel_jax(
+    padded_audio: jax.Array,
+    valid_frames: jax.Array,
+    n_mels: int = 80,
+    n_frames: int | None = None,
+) -> jax.Array:
+    """Log-mel spectrogram [n_mels, n_frames] from reflect-padded audio.
+
+    Args:
+      padded_audio: float32 [L + 2*200 (+ optional zero tail)], produced by
+        :func:`whisper_tpu.frontend.golden.reflect_pad` (host side, O(400)).
+      valid_frames: scalar int32 — the true frame count
+        (:func:`golden.num_frames`); frames >= valid_frames are excluded from
+        the global max and zeroed in the output.
+      n_frames: static frame capacity (>= valid_frames), e.g. a bucket size.
+    """
+    if n_frames is None:
+        raise ValueError("n_frames (static) is required")
+    _, cosw, sinw, fb_t = _constants(n_mels)
+
+    frames = frame_signal(padded_audio.astype(jnp.float32), n_frames)
+    # Window is folded into the DFT matrices.  HIGHEST precision: the front
+    # end is the root of the token-parity contract and costs ~nothing, so we
+    # never let TPU fp32 matmuls fall back to bf16 passes here.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cosw, precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sinw, precision=hi, preferred_element_type=jnp.float32)
+    power = re * re + im * im                          # [n_frames, 201]
+    mel = jnp.dot(power, fb_t, precision=hi, preferred_element_type=jnp.float32)
+    mel = jnp.maximum(mel, 1e-10)
+
+    log_spec = jnp.log10(mel)                          # [n_frames, n_mels]
+    valid = (jnp.arange(n_frames) < valid_frames)[:, None]
+    max_log = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
+    log_spec = jnp.maximum(log_spec, max_log - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    log_spec = jnp.where(valid, log_spec, 0.0)
+    return log_spec.T                                  # [n_mels, n_frames]
+
+
+def log_mel(audio: np.ndarray, n_mels: int = 80, bucket: int | None = None) -> jax.Array:
+    """Convenience wrapper: host reflect-pad + device log-mel.
+
+    `bucket` (static frame capacity) defaults to the true frame count; pass a
+    bucketed value to bound the number of compiled variants across files.
+    Returns [n_mels, bucket] with frames >= true count zeroed.
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    padded = golden.reflect_pad(audio)
+    n_valid = golden.num_frames(audio.shape[0])
+    n_frames = bucket or n_valid
+    if n_frames < n_valid:
+        raise ValueError(f"bucket {n_frames} < true frame count {n_valid}")
+    return log_mel_jax(
+        jnp.asarray(padded), jnp.int32(n_valid), n_mels=n_mels, n_frames=n_frames
+    )
