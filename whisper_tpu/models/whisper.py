@@ -1,0 +1,312 @@
+"""Pure-JAX Whisper encoder/decoder.
+
+A TPU-first, functional re-implementation of the Whisper architecture whose
+behavior the reference exercises through three exported ONNX graphs
+(encoder_model.onnx / decoder_model.onnx / decoder_with_past_model.onnx, ref
+scripts/export_onnx_whisper.py:10-30, src/main.rs:698-707, :753-829).  Here
+the three graphs become three jittable functions over one param pytree:
+
+- :func:`encoder_apply`   — log-mel [B, n_mels, 3000] -> states [B, 1500, d]
+- :func:`decoder_prefill` — full-prompt pass; fills self-attn KV for the
+  prompt and computes cross-attn KV once (the reference's first decoder call,
+  src/main.rs:771-787)
+- :func:`decoder_step`    — single-token pass against a **static-shape** KV
+  cache updated with dynamic_update_slice (the reference's
+  decoder_with_past + IoBinding loop, src/main.rs:789-827)
+
+Design notes (TPU):
+- Layer parameters are stacked along a leading ``L`` axis and iterated with
+  ``lax.scan`` — O(1) compile time in depth, and stacked weights shard
+  naturally for tensor parallelism ([L, d, 4d] sharded on the last axis).
+- All shapes are static; masks (causal / step-position) select validity.
+- LayerNorm and softmax accumulate in float32 regardless of activation dtype.
+- Matmul precision is a parameter: ``HIGHEST`` for the fp32 parity variant,
+  ``DEFAULT`` for bf16 throughput variants (see whisper_tpu.variants).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.models.registry import WhisperDims
+
+Params = Dict[str, Any]
+LN_EPS = 1e-5
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache.
+
+    self_k/self_v: [L, B, H, S_max, Dh] — decoder self-attention, updated
+        every step at the current position (replaces the reference's
+        present.* -> past_key_values.* renaming, src/main.rs:737-751).
+    cross_k/cross_v: [L, B, H, T_enc, Dh] — computed once at prefill and
+        reused (the reference reuses encoder K/V the same way).
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+def sinusoid_position_embedding(length: int, channels: int) -> np.ndarray:
+    """OpenAI Whisper sinusoidal embedding for the encoder (float32)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate(
+        [np.sin(scaled_time), np.cos(scaled_time)], axis=1
+    ).astype(np.float32)
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _dense(x, w, b, precision):
+    y = jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
+    return y if b is None else y + b
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """[..., S, d] -> [..., H, S, Dh]"""
+    *lead, s, d = x.shape
+    x = x.reshape(*lead, s, n_heads, d // n_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """[..., H, S, Dh] -> [..., S, d]"""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, s, h, dh = x.shape
+    return x.reshape(*lead, s, h * dh)
+
+
+def _attend(q, k, v, mask, precision):
+    """q [B,H,Sq,Dh], k/v [B,H,Sk,Dh], mask broadcastable to [B,H,Sq,Sk].
+
+    q is pre-scaled by Dh^-0.5 before the matmul (HF order, which the
+    reference's exported ONNX graphs inherit) so fp32 rounding matches.
+    """
+    dh = q.shape[-1]
+    q = q * jnp.asarray(dh, q.dtype) ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision,
+                      preferred_element_type=q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x, w, b, stride, precision):
+    """x [B, C_in, T], w [width, C_in, C_out] -> [B, C_out, T']"""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NCH", "HIO", "NCH"),
+        precision=precision,
+    )
+    return y + b[None, :, None]
+
+
+def encoder_apply(
+    params: Params,
+    dims: WhisperDims,
+    mel: jax.Array,
+    *,
+    precision=None,
+) -> jax.Array:
+    """Encoder forward: mel [B, n_mels, T] -> hidden states [B, T//2, d].
+
+    conv1d(k=3,s=1)+GELU, conv1d(k=3,s=2)+GELU, +sinusoidal positions, then
+    encoder_layers pre-LN transformer blocks and a final LayerNorm — the
+    graph behind the reference's ``run_encoder`` (src/main.rs:698-707).
+    """
+    enc = params["encoder"]
+    dtype = enc["conv1_w"].dtype
+    x = mel.astype(dtype)
+
+    x = jax.nn.gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], 1, precision),
+                    approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], 2, precision),
+                    approximate=False)
+    x = jnp.swapaxes(x, 1, 2)  # [B, T', d]
+    x = x + enc["pos_embed"][: x.shape[1]].astype(dtype)
+
+    h = dims.encoder_heads
+
+    def block(x, p):
+        r = _layer_norm(x, p["attn_ln_s"], p["attn_ln_b"])
+        q = _dense(r, p["q_w"], p["q_b"], precision)
+        k = _dense(r, p["k_w"], None, precision)
+        v = _dense(r, p["v_w"], p["v_b"], precision)
+        o = _attend(_split_heads(q, h), _split_heads(k, h), _split_heads(v, h),
+                    None, precision)
+        x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
+
+        r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])
+        r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision),
+                        approximate=False)
+        x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return _layer_norm(x, enc["ln_f_s"], enc["ln_f_b"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def init_cache(
+    dims: WhisperDims, batch: int, max_len: int, t_enc: int, dtype
+) -> KVCache:
+    l, h, dh = dims.decoder_layers, dims.decoder_heads, dims.head_dim
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return KVCache(
+        self_k=z((l, batch, h, max_len, dh)),
+        self_v=z((l, batch, h, max_len, dh)),
+        cross_k=z((l, batch, h, t_enc, dh)),
+        cross_v=z((l, batch, h, t_enc, dh)),
+    )
+
+
+def _decoder_blocks(
+    params: Params,
+    dims: WhisperDims,
+    x: jax.Array,            # [B, S, d]
+    cache: KVCache,
+    pos: jax.Array,          # scalar int32: index of x[:, 0] in the sequence
+    self_mask,               # [S, S_max] validity mask or None
+    precision,
+):
+    """Run all decoder blocks via scan, updating the self-attn cache at
+    positions [pos, pos+S) and attending per `self_mask`."""
+    dec = params["decoder"]
+    h = dims.decoder_heads
+    s = x.shape[1]
+
+    def block(x, layer):
+        p, sk, sv, ck, cv = layer
+        # --- causal self-attention against the static cache ---
+        r = _layer_norm(x, p["ln_s"], p["ln_b"])
+        q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
+        k = _split_heads(_dense(r, p["k_w"], None, precision), h)
+        v = _split_heads(_dense(r, p["v_w"], p["v_b"], precision), h)
+        sk = jax.lax.dynamic_update_slice(sk, k, (0, 0, pos, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v, (0, 0, pos, 0))
+        o = _attend(q, sk, sv, self_mask, precision)
+        x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
+
+        # --- cross-attention (KV precomputed at prefill) ---
+        r = _layer_norm(x, p["x_ln_s"], p["x_ln_b"])
+        q = _split_heads(_dense(r, p["xq_w"], p["xq_b"], precision), h)
+        o = _attend(q, ck, cv, None, precision)
+        x = x + _dense(_merge_heads(o), p["xo_w"], p["xo_b"], precision)
+
+        # --- MLP ---
+        r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])
+        r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision),
+                        approximate=False)
+        x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
+        return x, (sk, sv)
+
+    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
+    x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
+    return x, cache._replace(self_k=new_sk, self_v=new_sv)
+
+
+def _logits(params, x, precision):
+    """Tied output projection: x [B, S, d] @ tok_emb.T — computed in fp32."""
+    emb = params["decoder"]["tok_emb"]
+    return jnp.dot(x, emb.T, precision=precision,
+                   preferred_element_type=jnp.float32)
+
+
+def decoder_prefill(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jax.Array,        # [B, P] int32
+    enc_states: jax.Array,    # [B, T_enc, d]
+    max_len: int,
+    *,
+    precision=None,
+) -> tuple[jax.Array, KVCache]:
+    """Full-prompt decoder pass; returns logits [B, P, V] and a cache whose
+    self-KV holds positions [0, P) and whose cross-KV is final."""
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    b, p = tokens.shape
+    h = dims.decoder_heads
+
+    # Cross-attention KV, computed once from encoder states (the reference
+    # gets these as `present.*.encoder.*` of the first decoder call).
+    def cross_kv(_, pblk):
+        k = _split_heads(_dense(enc_states.astype(dtype), pblk["xk_w"], None,
+                                precision), h)
+        v = _split_heads(_dense(enc_states.astype(dtype), pblk["xv_w"],
+                                pblk["xv_b"], precision), h)
+        return None, (k, v)
+
+    _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
+
+    cache = init_cache(dims, b, max_len, enc_states.shape[1], dtype)
+    cache = cache._replace(cross_k=ck, cross_v=cv)
+
+    x = dec["tok_emb"][tokens] + dec["pos_embed"][:p].astype(dtype)
+
+    # Causal within the prompt; nothing beyond position P exists yet.
+    q_idx = jnp.arange(p)[:, None]
+    k_idx = jnp.arange(max_len)[None, :]
+    mask = k_idx <= q_idx  # [P, S_max]
+
+    x, cache = _decoder_blocks(
+        params, dims, x, cache, jnp.int32(0), mask, precision
+    )
+    return _logits(params, x, precision), cache
+
+
+def decoder_step(
+    params: Params,
+    dims: WhisperDims,
+    token: jax.Array,         # [B] int32
+    pos: jax.Array,           # scalar int32: position of this token
+    cache: KVCache,
+    *,
+    precision=None,
+) -> tuple[jax.Array, KVCache]:
+    """One-token decoder pass against the static cache; logits [B, V].
+
+    The on-device replacement for the reference's per-token
+    decoder_with_past IoBinding run (src/main.rs:793-827).
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    x = dec["tok_emb"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_embed"], pos, 1, axis=0
+    ).astype(dtype)
+
+    max_len = cache.self_k.shape[3]
+    mask = (jnp.arange(max_len) <= pos)[None, :]  # [1, S_max]
+
+    x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision)
+    return _logits(params, x, precision)[:, 0, :], cache
