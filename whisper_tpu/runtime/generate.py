@@ -1,0 +1,106 @@
+"""On-device greedy generation with a static-shape KV cache.
+
+The TPU-native replacement for the reference's per-token host loop
+(`greedy_decode_with_past`, ref src/main.rs:753-829): the entire
+prefill + token loop runs inside one jitted function using
+``lax.while_loop``, so there is no host round-trip per token.  Semantics are
+kept identical:
+
+- prefill over the full prompt produces the first token, with suppression =
+  base ∪ begin_suppress (ref src/main.rs:765-778);
+- each subsequent step uses base suppression only (ref :817);
+- generation stops at EOT or after ``max_new_tokens`` tokens (ref :793,
+  :820-822) — batched rows that finish early keep emitting EOT, and the loop
+  exits when every row is done;
+- suppression is an additive ``-inf`` mask before argmax, equivalent to the
+  reference's skip-in-argmax because a suppressed id can never win (ref
+  :709-735); ``jnp.argmax`` and the reference's strict ``>`` scan both pick
+  the first index on ties.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.models import whisper
+from whisper_tpu.models.registry import WhisperDims
+
+
+def build_suppress_mask(vocab_size: int, ids: Sequence[int] | None) -> np.ndarray:
+    """Additive float32 mask [V]: 0 everywhere, -inf at suppressed ids
+    (vectorized form of the reference's suppress sets, src/main.rs:102-106)."""
+    mask = np.zeros(vocab_size, dtype=np.float32)
+    if ids:
+        idx = np.asarray([i for i in ids if 0 <= i < vocab_size], dtype=np.int64)
+        mask[idx] = -np.inf
+    return mask
+
+
+def greedy_generate(
+    params,
+    dims: WhisperDims,
+    enc_states: jax.Array,        # [B, T_enc, d]
+    prompt: jax.Array,            # [P] int32 — same prompt for every row
+    suppress_mask: jax.Array,     # [V] additive mask, steps 2..N
+    first_suppress_mask: jax.Array,  # [V] additive mask, first token
+    max_new_tokens: int,
+    eot_id: int,
+    *,
+    precision=None,
+) -> jax.Array:
+    """Returns generated tokens [B, max_new_tokens] (prompt excluded).
+
+    Rows finished early are padded with EOT; the host strips the prompt and
+    trailing EOT exactly like the reference (src/main.rs:926-943).
+    """
+    b = enc_states.shape[0]
+    p = prompt.shape[0]
+    max_len = p + max_new_tokens
+    tokens = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
+
+    logits, cache = whisper.decoder_prefill(
+        params, dims, tokens, enc_states, max_len, precision=precision
+    )
+    first = jnp.argmax(logits[:, -1, :] + first_suppress_mask, axis=-1).astype(
+        jnp.int32
+    )
+
+    buf = jnp.full((b, max_new_tokens), eot_id, dtype=jnp.int32)
+    buf = buf.at[:, 0].set(first)
+    done = first == eot_id
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        i, buf, last, done, cache = state
+        # `last` was generated as token index p+i-1 in the full sequence.
+        step_logits, cache = whisper.decoder_step(
+            params, dims, last, p + i - 1, cache, precision=precision
+        )
+        nxt = jnp.argmax(step_logits + suppress_mask, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eot_id, nxt)
+        buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, i))
+        done = jnp.logical_or(done, nxt == eot_id)
+        return i + 1, buf, nxt, done, cache
+
+    _, buf, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), buf, first, done, cache)
+    )
+    return buf
+
+
+def strip_generated(row: np.ndarray, eot_id: int) -> list[int]:
+    """Host-side: cut a generated row at the first EOT (exclusive), matching
+    the reference's strip of the trailing EOT (src/main.rs:926-943)."""
+    out = []
+    for t in row.tolist():
+        if t == eot_id:
+            break
+        out.append(int(t))
+    return out

@@ -1,0 +1,262 @@
+"""Inference session: compiled function cache + runtime configuration.
+
+The TPU analog of the reference's ORT session layer (`OrtCfg` +
+`build_session`, ref src/main.rs:92-202): instead of three ONNX sessions we
+hold one param pytree and a cache of jit-compiled end-to-end functions
+(fused log-mel is separate; encoder + prefill + greedy token loop compile as
+ONE program per (batch, prompt_len, max_new_tokens) bucket so no host
+synchronization happens inside a chunk batch).
+
+``RuntimeCfg`` carries both the TPU-native knobs and the reference's ORT
+config keys (intra_op/inter_op/...) so the discovery-JSON contract
+(`--discovery-best-json` with lenient bool/int/string coercion, ref
+src/main.rs:124-167) and the ``config_used`` summary echo keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.models import whisper
+from whisper_tpu.models.registry import WhisperDims
+from whisper_tpu.runtime.generate import build_suppress_mask, greedy_generate
+
+_PRECISIONS = {
+    "default": None,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+    "float32": jax.lax.Precision.HIGHEST,
+}
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@dataclass
+class RuntimeCfg:
+    """Runtime configuration (TPU analog of OrtCfg, ref src/main.rs:92-100).
+
+    TPU-native knobs:
+      dtype: compute/storage dtype for model params & activations.
+      matmul_precision: 'default' (bf16 MXU passes) | 'high' | 'highest'
+        (fp32-exact; required for token parity vs the fp32 reference).
+      max_batch: chunk-batch bucket cap per compiled program.
+      donate_cache: donate KV buffers inside the generate loop (XLA already
+        re-uses loop-carried buffers; kept as an explicit knob for variants).
+      data_parallel / tensor_parallel: mesh axis sizes (1 = single chip).
+
+    Reference-compatible echo fields (accepted from --discovery-best-json and
+    CLI overrides, echoed in config_used): intra_op maps to the host-side
+    worker pool used for audio decode / detokenize; the others are carried
+    for schema compatibility.
+    """
+
+    dtype: str = "bfloat16"
+    matmul_precision: str = "default"
+    max_batch: int = 16
+    donate_cache: bool = True
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+    # --- reference echo fields (ref src/main.rs:92-122) ---
+    intra_op: int = 0
+    inter_op: int = 1
+    execution_mode: str = "SEQUENTIAL"
+    graph_opt: str = "ENABLE_ALL"
+    cpu_mem_arena: bool = True
+    mem_pattern: bool = True
+    allow_spinning: bool = True
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    @property
+    def jnp_dtype(self):
+        return _DTYPES[self.dtype]
+
+    @property
+    def precision(self):
+        return _PRECISIONS[self.matmul_precision]
+
+
+def suggested_cfg() -> RuntimeCfg:
+    """Built-in heuristic config (analog of suggested_optimum_cfg,
+    ref src/main.rs:108-122): bf16 on TPU, batch bucket 16, single chip."""
+    import os
+
+    intra = min(os.cpu_count() or 8, 16)
+    return RuntimeCfg(intra_op=intra)
+
+
+def _coerce_bool(v, default: bool) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "y", "on")
+    return default
+
+
+def _coerce_int(v, default: int) -> int:
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, str):
+        try:
+            return int(v.strip())
+        except ValueError:
+            return default
+    return default
+
+
+def _coerce_str(v, default: str) -> str:
+    return v if isinstance(v, str) else default
+
+
+def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
+    """Load a tuned config from ``{"best": {...}}`` with the reference's
+    lenient coercion rules (ref src/main.rs:124-167), extended with the
+    TPU-native keys."""
+    with open(path) as f:
+        outer = json.load(f)
+    best = outer.get("best") or {}
+    fb = suggested_cfg()
+    return RuntimeCfg(
+        dtype=_coerce_str(best.get("dtype"), fb.dtype),
+        matmul_precision=_coerce_str(best.get("matmul_precision"), fb.matmul_precision),
+        max_batch=_coerce_int(best.get("max_batch"), fb.max_batch),
+        donate_cache=_coerce_bool(best.get("donate_cache"), fb.donate_cache),
+        data_parallel=_coerce_int(best.get("data_parallel"), fb.data_parallel),
+        tensor_parallel=_coerce_int(best.get("tensor_parallel"), fb.tensor_parallel),
+        intra_op=_coerce_int(best.get("intra_op"), fb.intra_op),
+        inter_op=_coerce_int(best.get("inter_op"), 1),
+        execution_mode=_coerce_str(best.get("execution_mode"), "SEQUENTIAL"),
+        graph_opt=_coerce_str(best.get("graph_opt"), "ENABLE_ALL"),
+        cpu_mem_arena=_coerce_bool(best.get("cpu_mem_arena"), True),
+        mem_pattern=_coerce_bool(best.get("mem_pattern"), True),
+        allow_spinning=_coerce_bool(best.get("allow_spinning"), True),
+    )
+
+
+def _bucket_batch(n: int, cap: int) -> int:
+    """Next power of two >= n, capped at `cap`."""
+    b = 1
+    while b < n and b < cap:
+        b <<= 1
+    return min(b, cap)
+
+
+class WhisperSession:
+    """Holds params + dims + cfg and a cache of compiled transcribe fns.
+
+    One compiled program per (batch_bucket, prompt_len, max_new_tokens):
+    mel chunks [B, n_mels, 3000] -> generated tokens [B, max_new_tokens],
+    encoder forward + prefill + while_loop greedy all on device.
+    """
+
+    def __init__(
+        self,
+        params,
+        dims: WhisperDims,
+        cfg: Optional[RuntimeCfg] = None,
+        in_shardings=None,
+        param_shardings=None,
+    ):
+        from whisper_tpu.models.convert import cast_params
+
+        self.cfg = cfg or suggested_cfg()
+        self.dims = dims
+        self.params = cast_params(params, self.cfg.jnp_dtype)
+        if param_shardings is not None:
+            self.params = jax.device_put(self.params, param_shardings)
+        self._in_shardings = in_shardings
+        self._fns: Dict[Tuple[int, int, int], object] = {}
+        self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
+
+    # -- compiled-function cache ------------------------------------------
+
+    def _get_fn(self, batch: int, prompt_len: int, max_new: int, eot_id: int):
+        key = (batch, prompt_len, max_new, eot_id)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+
+            def run(params, mel, prompt, suppress, first_suppress):
+                enc = whisper.encoder_apply(params, dims, mel,
+                                            precision=precision)
+                return greedy_generate(
+                    params, dims, enc, prompt, suppress, first_suppress,
+                    max_new_tokens=max_new, eot_id=eot_id,
+                    precision=precision,
+                )
+
+            if self._in_shardings is not None:
+                self._fns[key] = jax.jit(run, in_shardings=self._in_shardings)
+            else:
+                self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def _get_masks(self, suppress_ids, begin_suppress_ids):
+        key = (tuple(suppress_ids or ()), tuple(begin_suppress_ids or ()))
+        if key not in self._masks:
+            v = self.dims.vocab_size
+            base = build_suppress_mask(v, suppress_ids)
+            first = build_suppress_mask(
+                v, list(suppress_ids or []) + list(begin_suppress_ids or [])
+            )
+            self._masks[key] = (jnp.asarray(base), jnp.asarray(first))
+        return self._masks[key]
+
+    # -- public API ---------------------------------------------------------
+
+    def transcribe_chunks(
+        self,
+        mel_chunks: np.ndarray,          # [C, n_mels, 3000]
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+    ) -> np.ndarray:
+        """Transcribe C mel chunks; returns generated tokens [C, max_new].
+
+        Chunks are padded to a power-of-two bucket (cap cfg.max_batch); larger
+        sets run as a sequence of full buckets. This bounds compiled-program
+        variants while letting XLA batch the whole chunk set (the TPU-native
+        equivalent of the reference's rayon chunk pool, src/main.rs:884-925).
+        """
+        c = mel_chunks.shape[0]
+        prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
+        base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
+
+        out = np.empty((c, max_new_tokens), dtype=np.int32)
+        cap = self.cfg.max_batch
+        start = 0
+        while start < c:
+            n = min(cap, c - start)
+            bucket = _bucket_batch(n, cap)
+            mel = np.zeros(
+                (bucket,) + mel_chunks.shape[1:], dtype=mel_chunks.dtype
+            )
+            mel[:n] = mel_chunks[start : start + n]
+            fn = self._get_fn(bucket, len(prompt), max_new_tokens, eot_id)
+            toks = fn(self.params, jnp.asarray(mel), prompt_arr,
+                      base_mask, first_mask)
+            out[start : start + n] = np.asarray(toks)[:n]
+            start += n
+        return out
+
+    def warmup(self, n_chunks: int, prompt: Sequence[int], max_new_tokens: int,
+               eot_id: int) -> None:
+        """Trigger compilation for the bucket that `n_chunks` lands in."""
+        bucket = _bucket_batch(min(n_chunks, self.cfg.max_batch), self.cfg.max_batch)
+        mel = np.zeros((bucket, self.dims.n_mels, 3000), dtype=np.float32)
+        jax.block_until_ready(
+            self.transcribe_chunks(mel, prompt, max_new_tokens, eot_id)
+        )
