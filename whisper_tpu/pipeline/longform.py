@@ -1,0 +1,127 @@
+"""Long-form transcription driver (ref transcribe_longform_chunked,
+src/main.rs:834-1008), TPU-shaped:
+
+1. whole-file log-mel once on device (preprocess_s)
+2. chunk starts every chunk_len - overlap samples
+3. all chunks stacked on a batch dimension -> ONE batched
+   encoder + on-device greedy program per bucket (model_only_s) — the
+   reference's rayon chunk pool (src/main.rs:884-925) becomes a batch axis
+4. per-chunk detokenize (strip prompt/EOT, drop empties) + overlap-deduped
+   stitching (decode_s)
+
+Timing fields match the reference's `Timing` struct; device work is fenced
+with block_until_ready so the breakdown is honest.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from whisper_tpu.frontend import golden
+from whisper_tpu.frontend.mel import log_mel_jax
+from whisper_tpu.pipeline.chunk import (
+    chunk_starts,
+    mel_frame_bucket,
+    slice_mel_chunks,
+)
+from whisper_tpu.pipeline.stitch import stitch_texts
+from whisper_tpu.runtime.generate import strip_generated
+from whisper_tpu.runtime.genconfig import GenerationCfg
+from whisper_tpu.runtime.session import WhisperSession
+from whisper_tpu.tokenizer.bpe import WhisperDetokenizer
+from whisper_tpu.tokenizer.specials import special_tokens
+from whisper_tpu.utils.timing import Timing
+
+SAMPLE_RATE = 16_000
+
+
+def compute_mel_full(session: WhisperSession, audio_16k: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Whole-file log-mel on device (ref src/main.rs:871). Returns
+    ([n_mels, F_bucket] numpy, true frame count)."""
+    import jax.numpy as jnp
+
+    audio_16k = np.asarray(audio_16k, dtype=np.float32)
+    padded = golden.reflect_pad(audio_16k)
+    n_valid = golden.num_frames(audio_16k.shape[0])
+    bucket = mel_frame_bucket(n_valid)
+    mel = log_mel_jax(
+        jnp.asarray(padded),
+        jnp.int32(n_valid),
+        n_mels=session.dims.n_mels,
+        n_frames=bucket,
+    )
+    return np.asarray(jax.block_until_ready(mel)), n_valid
+
+
+def transcribe_longform(
+    session: WhisperSession,
+    audio_16k: np.ndarray,
+    language: str,
+    task: str,
+    max_new_tokens: int,
+    chunk_length_s: float = 30.0,
+    overlap_s: float = 5.0,
+    tokenizer: Optional[WhisperDetokenizer] = None,
+    timestamps: bool = False,
+    gen_cfg: Optional[GenerationCfg] = None,
+) -> Tuple[str, Timing]:
+    """Transcribe one (already 16 kHz mono) audio array. Returns
+    (stitched text, Timing)."""
+    t0 = time.perf_counter()
+    gen_cfg = gen_cfg or GenerationCfg()
+
+    special = special_tokens(language, task, tokenizer)
+    prompt = [special.sot, special.lang, special.task]
+    if not timestamps:
+        prompt.append(special.no_timestamps)
+
+    chunk_len = int(round(chunk_length_s * SAMPLE_RATE))
+    overlap = int(round(overlap_s * SAMPLE_RATE))
+    step = max(chunk_len - overlap, 1)
+
+    # 1. whole-file mel (device), then 2. chunk geometry
+    tp0 = time.perf_counter()
+    mel_full, total_frames = compute_mel_full(session, audio_16k)
+    preprocess_s = time.perf_counter() - tp0
+
+    starts = chunk_starts(len(audio_16k), chunk_len, step)
+    mel_chunks = slice_mel_chunks(mel_full, starts, total_frames)
+
+    # 3. one batched encoder+greedy program over all chunks
+    tm0 = time.perf_counter()
+    tokens = session.transcribe_chunks(
+        mel_chunks,
+        prompt=prompt,
+        max_new_tokens=max_new_tokens,
+        eot_id=special.eot,
+        suppress_ids=gen_cfg.suppress_tokens,
+        begin_suppress_ids=gen_cfg.begin_suppress_tokens,
+    )
+    model_only_s = time.perf_counter() - tm0
+
+    # 4. detokenize + stitch (host)
+    td0 = time.perf_counter()
+    texts = []
+    for row in tokens:
+        gen = strip_generated(row, special.eot)
+        if tokenizer is not None:
+            text = tokenizer.decode(gen, skip_special_tokens=True)
+        else:
+            # No tokenizer: print ids, like the reference (src/main.rs:643-647).
+            text = f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]" if gen else ""
+        if text.strip():
+            texts.append(text)
+    full_text = stitch_texts(texts)
+    decode_s = time.perf_counter() - td0
+
+    timing = Timing(
+        preprocess_s=preprocess_s,
+        model_only_s=model_only_s,
+        decode_s=decode_s,
+        end_to_end_s=time.perf_counter() - t0,
+    )
+    return full_text, timing
