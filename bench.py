@@ -1,0 +1,80 @@
+"""Headline benchmark: whisper-base greedy long-form transcription throughput
+on one TPU chip.
+
+Reproduces the reference's benchmark workload (BASELINE.md): 301.574 s of
+16 kHz audio, whisper-base, greedy, max_new_tokens=128, en/transcribe, 30 s
+chunks with 5 s overlap.  The reference's best number is 41.8x real-time
+(rust+ORT int8 on 8 CPU cores, backup_results/RESULTS.csv:11); BASELINE.json
+targets >=100x per chip.
+
+Weights are random-initialized (no network access for real checkpoints);
+identical compute/shapes to real weights.  Random logits rarely hit EOT, so
+every chunk decodes the full 128 tokens — a *worst-case* token count versus
+real speech.  Prints one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+AUDIO_SECONDS = 301.574
+BASELINE_AUDIO_SEC_PER_SEC = 41.8  # best reference config (BASELINE.md)
+
+
+def synth_audio(seconds: float, sr: int = 16_000) -> np.ndarray:
+    """Deterministic speech-like signal (chirps + noise floor)."""
+    n = int(seconds * sr)
+    rng = np.random.default_rng(42)
+    t = np.arange(n, dtype=np.float64) / sr
+    x = (
+        0.3 * np.sin(2 * np.pi * (180 + 60 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        + 0.15 * np.sin(2 * np.pi * 920 * t)
+        + 0.04 * rng.standard_normal(n)
+    )
+    return (0.5 * x).astype(np.float32)
+
+
+def main() -> None:
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.pipeline.longform import transcribe_longform
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.variants.ladder import apply_variant
+
+    dims = get_dims("openai/whisper-base")
+    params = init_params(dims, seed=0)
+    cfg, _ = apply_variant(RuntimeCfg(), "x2")  # bf16 serving variant
+    session = WhisperSession(params, dims, cfg)
+
+    audio = synth_audio(AUDIO_SECONDS)
+
+    def run():
+        text, t = transcribe_longform(
+            session, audio, language="en", task="transcribe",
+            max_new_tokens=128, chunk_length_s=30.0, overlap_s=5.0,
+        )
+        return t
+
+    run()  # warmup: XLA compilation + first execution
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+
+    e2e = min(times)
+    value = AUDIO_SECONDS / e2e
+    print(json.dumps({
+        "metric": "whisper-base greedy long-form throughput (audio-sec/sec/chip)",
+        "value": round(value, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

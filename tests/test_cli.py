@@ -1,0 +1,172 @@
+"""End-to-end CLI test: reference flag surface -> output file schemas
+(ref src/main.rs:23-86, 1216-1268)."""
+
+import csv
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def _write_wav(path, data, sr=16000):
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1, sr,
+        sr * 2, 2, 16, b"data", len(pcm),
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + pcm)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    """Nano model dir: params + tokenizer.json (with whisper-style specials
+    at small ids) + generation_config.json sidecars."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+
+    from whisper_tpu.models.convert import init_params, save_params
+    from whisper_tpu.models.registry import get_dims
+
+    d = tmp_path_factory.mktemp("nano-model")
+    dims = get_dims("test/whisper-nano")
+    save_params(init_params(dims, seed=0), dims, str(d))
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=400, initial_alphabet=pre_tokenizers.ByteLevel.alphabet()
+    )
+    tok.train_from_iterator(["some text to build a vocab"], trainer)
+    tok.add_special_tokens([
+        "<|endoftext|>", "<|startoftranscript|>", "<|en|>",
+        "<|transcribe|>", "<|translate|>", "<|notimestamps|>",
+    ])
+    tok.save(str(d / "tokenizer.json"))
+
+    with open(d / "generation_config.json", "w") as f:
+        json.dump({"suppress_tokens": [5, 6], "begin_suppress_tokens": [7]}, f)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("audio")
+    rng = np.random.default_rng(0)
+    for name, secs in [("b_second.wav", 1.5), ("a_first.wav", 2.0)]:
+        _write_wav(str(d / name), rng.normal(0, 0.1, int(secs * 16000)))
+    (d / "ignored.txt").write_text("not audio")
+    return str(d)
+
+
+class TestCli:
+    def test_full_run_schema(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "results"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--max-new-tokens", "4",
+            "--warmup", "1",
+            "--write-txt",
+            "--out-csv", str(out / "inference_per_file.csv"),
+            "--out-json", str(out / "inference_per_file.json"),
+            "--out-summary-json", str(out / "inference_summary.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+
+        # CSV schema (ref src/main.rs:1216-1229)
+        with open(out / "inference_per_file.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["file"] for r in rows] == ["a_first.wav", "b_second.wav"]
+        assert set(rows[0]) == {"file", "duration_s", "end_to_end_s", "rtf", "text"}
+        assert abs(float(rows[0]["duration_s"]) - 2.0) < 0.01
+
+        # JSON rows (ref :1232)
+        jrows = json.load(open(out / "inference_per_file.json"))
+        assert len(jrows) == 2 and jrows[0]["file"] == "a_first.wav"
+
+        # Summary schema (ref :1235-1259)
+        s = json.load(open(out / "inference_summary.json"))
+        assert set(s) == {
+            "config_used", "n_files", "latency_end_to_end_s", "breakdown_s",
+            "rtf_end_to_end", "model_id", "onnx_dir", "language", "task",
+            "max_new_tokens", "tokenizer_json", "timestamps", "notes",
+        }
+        assert s["n_files"] == 2
+        assert set(s["breakdown_s"]) == {
+            "load_s", "preprocess_s", "model_only_s", "decode_s"
+        }
+        for block in [s["latency_end_to_end_s"], s["rtf_end_to_end"]]:
+            assert set(block) == {"min", "median", "p90", "p95", "max", "mean"}
+        assert s["tokenizer_json"].endswith("tokenizer.json")
+        # transcripts written
+        assert (out / "a_first.transcript.txt").exists()
+
+    def test_limit_files_and_random_init(self, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "r2"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", str(tmp_path / "missing-dir"),
+            "--allow-random-init",
+            "--limit-files", "1",
+            "--max-new-tokens", "3",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["n_files"] == 1
+        # No tokenizer -> token-id placeholder text in rows.
+        jrows = json.load(open(out / "j.json"))
+        assert jrows[0]["text"].startswith("[TOKENS:") or jrows[0]["text"] == ""
+
+    def test_missing_model_dir_fails(self, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "--audio-dir", audio_dir,
+                "--onnx-dir", str(tmp_path / "nope"),
+            ])
+
+    def test_discovery_json_and_overrides(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        disc = tmp_path / "disc.json"
+        json.dump(
+            {"best": {"intra_op": "4", "dtype": "float32", "max_batch": 2,
+                      "allow_spinning": "yes"}},
+            open(disc, "w"),
+        )
+        out = tmp_path / "r3"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--discovery-best-json", str(disc),
+            "--intra-op", "8",          # CLI overrides discovery
+            "--limit-files", "1",
+            "--max-new-tokens", "3",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+        ])
+        assert rc == 0
+        cfg = json.load(open(out / "s.json"))["config_used"]
+        assert cfg["intra_op"] == 8
+        assert cfg["dtype"] == "float32"
+        assert cfg["max_batch"] == 2
+        assert cfg["allow_spinning"] is True

@@ -1,0 +1,66 @@
+"""Multi-chip sharding dry runs on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_1():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(1)
+
+
+def test_param_shardings_rules():
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.parallel.mesh import make_mesh, param_shardings
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8, model_parallel=2)
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims)
+    sh = param_shardings(params, mesh)
+    assert sh["encoder"]["blocks"]["q_w"].spec == P(None, None, "model")
+    assert sh["encoder"]["blocks"]["o_w"].spec == P(None, "model", None)
+    assert sh["decoder"]["blocks"]["fc2_w"].spec == P(None, "model", None)
+    assert sh["decoder"]["tok_emb"].spec == P()
+    assert sh["encoder"]["conv1_w"].spec == P()
+
+
+def test_tp_matches_single_device():
+    """TP=2 sharded forward must equal the unsharded forward."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.models import whisper
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import WhisperDims
+    from whisper_tpu.parallel.mesh import make_mesh, param_shardings, batch_sharding
+
+    dims = WhisperDims(
+        n_mels=80, d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, vocab_size=128,
+        max_source_positions=32, max_target_positions=16,
+    )
+    params = init_params(dims, seed=1)
+    rng = np.random.default_rng(0)
+    mel = rng.normal(0, 1, (4, 80, 64)).astype(np.float32)
+
+    want = np.asarray(whisper.encoder_apply(params, dims, jnp.asarray(mel)))
+
+    mesh = make_mesh(8, model_parallel=2)
+    p_sh = jax.device_put(params, param_shardings(params, mesh))
+    mel_sh = jax.device_put(jnp.asarray(mel), batch_sharding(mesh))
+    with jax.set_mesh(mesh):
+        got = np.asarray(
+            jax.jit(lambda p, m: whisper.encoder_apply(p, dims, m))(p_sh, mel_sh)
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)

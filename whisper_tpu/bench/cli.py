@@ -1,0 +1,263 @@
+"""Benchmark CLI — the reference binary's flag surface and driver shape
+(ref `Args` src/main.rs:23-86 and `main` :1065-1271), TPU-native inside.
+
+All 20 reference flags are accepted with identical names and defaults;
+TPU-specific extras (--variant, --dtype, --matmul-precision, --max-batch,
+--allow-random-init) are additive. `--onnx-dir` keeps its name for artifact
+compatibility but points at a framework model dir (params.safetensors +
+config.json + tokenizer.json + generation_config.json sidecars).
+
+Run: python -m whisper_tpu.bench [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+AUDIO_EXTS = (".wav", ".flac", ".mp3")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu_bench",
+        description="TPU-native Whisper inference benchmark "
+                    "(reference-compatible CLI)",
+    )
+    # --- reference flag surface (ref src/main.rs:23-86) ---
+    p.add_argument("--audio-dir", default="audio")
+    p.add_argument("--model-id", default="openai/whisper-base")
+    p.add_argument("--onnx-dir", default="whisper-base-with-past",
+                   help="model dir (framework params + sidecars); reference "
+                        "flag name kept for artifact compatibility")
+    p.add_argument("--language", default="en")
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--limit-files", type=int, default=0)
+    p.add_argument("--discovery-best-json", default="")
+    p.add_argument("--out-csv", default="results/benchmarks/inference_per_file.csv")
+    p.add_argument("--out-json", default="results/benchmarks/inference_per_file.json")
+    p.add_argument("--out-summary-json",
+                   default="results/benchmarks/inference_summary.json")
+    p.add_argument("--intra-op", type=int, default=0)
+    p.add_argument("--inter-op", type=int, default=0)
+    p.add_argument("--write-txt", action="store_true")
+    p.add_argument("--tokenizer-json", default="")
+    p.add_argument("--timestamps", action="store_true")
+    p.add_argument("--chunk-parallelism", type=int, default=0,
+                   help="reference: rayon threads; here: chunk-batch cap "
+                        "(rounded to a power of two)")
+    p.add_argument("--chunk-length-s", type=float, default=30.0)
+    p.add_argument("--overlap-s", type=float, default=5.0)
+    # --- TPU-native extras ---
+    p.add_argument("--variant", default="",
+                   choices=["", "x0", "x1", "x2", "x3", "x4", "int8"],
+                   help="optimization-ladder variant: x0..x4 or int8")
+    p.add_argument("--dtype", default="", choices=["", "float32", "bfloat16"])
+    p.add_argument("--matmul-precision", default="",
+                   choices=["", "default", "high", "highest", "float32"])
+    p.add_argument("--max-batch", type=int, default=0)
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="build random-weight params from --model-id when the "
+                        "model dir has no params.safetensors (benchmarking "
+                        "without converted weights)")
+    return p
+
+
+def list_audio_files(audio_dir: str, limit: int) -> List[str]:
+    """Sorted wav/flac/mp3 file names (ref src/main.rs:1111-1128)."""
+    files = sorted(
+        e.name
+        for e in Path(audio_dir).iterdir()
+        if e.is_file() and e.suffix.lower() in AUDIO_EXTS
+    )
+    if limit > 0:
+        files = files[:limit]
+    return files
+
+
+def _build_session(args, cfg):
+    from whisper_tpu.models import convert
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.session import WhisperSession
+
+    model_dir = args.onnx_dir
+    params_path = os.path.join(model_dir, convert.PARAMS_FILE)
+    if os.path.isfile(params_path):
+        params, dims = convert.load_params(model_dir)
+    elif args.allow_random_init:
+        dims = get_dims(args.model_id)
+        params = convert.init_params(dims, seed=0)
+    else:
+        raise SystemExit(
+            f"model dir does not exist or has no {convert.PARAMS_FILE}: "
+            f"{model_dir} (convert a checkpoint with whisper_tpu.models."
+            f"convert.convert_hf_model_dir, or pass --allow-random-init)"
+        )
+    return WhisperSession(params, dims, cfg)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Ensure output dirs (ref src/main.rs:1068-1071).
+    for out in (args.out_csv, args.out_json, args.out_summary_json):
+        parent = os.path.dirname(out)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+
+    # Config resolution: heuristics < discovery json < CLI flags
+    # (ref src/main.rs:1073-1084; SURVEY.md §5.6).
+    from whisper_tpu.runtime.session import (
+        load_best_cfg_from_discovery,
+        suggested_cfg,
+    )
+
+    cfg = (
+        load_best_cfg_from_discovery(args.discovery_best_json)
+        if args.discovery_best_json
+        else suggested_cfg()
+    )
+    if args.intra_op > 0:
+        cfg.intra_op = args.intra_op
+    if args.inter_op > 0:
+        cfg.inter_op = args.inter_op
+
+    variant_note = ""
+    if args.variant:
+        from whisper_tpu.variants.ladder import apply_variant
+
+        cfg, spec = apply_variant(cfg, args.variant)
+        variant_note = spec.description
+    if args.dtype:
+        cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    if args.matmul_precision:
+        cfg = dataclasses.replace(cfg, matmul_precision=args.matmul_precision)
+    if args.max_batch > 0:
+        cfg = dataclasses.replace(cfg, max_batch=args.max_batch)
+    elif args.chunk_parallelism > 0:
+        # Reference semantics: cap on concurrently-processed chunks.
+        b = 1
+        while b < args.chunk_parallelism and b < 64:
+            b <<= 1
+        cfg = dataclasses.replace(cfg, max_batch=b)
+
+    from whisper_tpu.runtime.genconfig import load_generation_cfg
+    from whisper_tpu.tokenizer.specials import resolve_tokenizer
+
+    tok = resolve_tokenizer(args.tokenizer_json, args.onnx_dir, args.model_id)
+    tokenizer = tok[0] if tok else None
+    tokenizer_path = str(tok[1]) if tok else ""
+    gen_cfg = load_generation_cfg(
+        os.path.join(args.onnx_dir, "generation_config.json")
+    )
+
+    session = _build_session(args, cfg)
+
+    files = list_audio_files(args.audio_dir, args.limit_files)
+    if not files:
+        raise SystemExit(f"No audio files found in {args.audio_dir}")
+
+    from whisper_tpu.audio.io import load_audio_16k_mono
+    from whisper_tpu.pipeline.longform import transcribe_longform
+    from whisper_tpu.bench.writers import (
+        RowOut,
+        build_summary,
+        write_per_file_csv,
+        write_per_file_json,
+    )
+
+    # Warmup (ref src/main.rs:1131-1152) — also triggers XLA compilation.
+    if args.warmup > 0:
+        a0, sr0, _ = load_audio_16k_mono(os.path.join(args.audio_dir, files[0]))
+        assert sr0 == 16_000
+        for _ in range(args.warmup):
+            transcribe_longform(
+                session, a0, args.language, args.task, args.max_new_tokens,
+                args.chunk_length_s, args.overlap_s, tokenizer,
+                args.timestamps, gen_cfg,
+            )
+
+    rows: List[RowOut] = []
+    end2end, load_l, pre_l, model_l, dec_l, rtf_l = [], [], [], [], [], []
+    txt_dir = os.path.dirname(args.out_csv) or "."
+
+    for fnm in files:
+        path = os.path.join(args.audio_dir, fnm)
+        tl0 = time.perf_counter()
+        audio, sr, dur = load_audio_16k_mono(path)
+        load_s = time.perf_counter() - tl0
+        assert sr == 16_000
+
+        text, t = transcribe_longform(
+            session, audio, args.language, args.task, args.max_new_tokens,
+            args.chunk_length_s, args.overlap_s, tokenizer,
+            args.timestamps, gen_cfg,
+        )
+
+        e2e = load_s + t.end_to_end_s
+        rtf = e2e / max(dur, 1e-9)
+        rows.append(RowOut.make(fnm, dur, e2e, rtf, text))
+        load_l.append(load_s)
+        pre_l.append(t.preprocess_s)
+        model_l.append(t.model_only_s)
+        dec_l.append(t.decode_s)
+        end2end.append(e2e)
+        rtf_l.append(rtf)
+
+        if args.write_txt:
+            stem = Path(fnm).stem
+            with open(os.path.join(txt_dir, f"{stem}.transcript.txt"), "w") as f:
+                f.write(text.strip() + "\n")
+
+    write_per_file_csv(rows, args.out_csv)
+    write_per_file_json(rows, args.out_json)
+
+    notes = {
+        "longform": "TPU: chunked 30s windows with overlap; chunks batched "
+                    "into one on-device encoder+greedy program",
+        "token_decode": (
+            "Tokenizer decode (skip_special_tokens=true)" if tokenizer
+            else "Prints token IDs unless you provide tokenizer.json."
+        ),
+    }
+    if variant_note:
+        notes["variant"] = variant_note
+
+    summary = build_summary(
+        config_used=cfg.to_dict(),
+        rows=rows,
+        end2end=end2end, load=load_l, preprocess=pre_l,
+        model_only=model_l, decode=dec_l, rtf_end2end=rtf_l,
+        model_id=args.model_id, onnx_dir=args.onnx_dir,
+        language=args.language, task=args.task,
+        max_new_tokens=args.max_new_tokens,
+        tokenizer_json=tokenizer_path, timestamps=args.timestamps,
+        notes=notes,
+    )
+    with open(args.out_summary_json, "w") as f:
+        json.dump(summary, f, indent=2)
+
+    # stdout report (ref src/main.rs:1261-1268)
+    print("DONE")
+    print("Config used:")
+    print(json.dumps(cfg.to_dict(), indent=2))
+    print(f"Per-file CSV: {args.out_csv}")
+    print(f"Per-file JSON: {args.out_json}")
+    print(f"Summary JSON: {args.out_summary_json}")
+    p95 = summary["latency_end_to_end_s"]["p95"]
+    print(f"End-to-end p95(s): {p95:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

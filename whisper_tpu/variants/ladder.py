@@ -1,0 +1,86 @@
+"""Optimization-variant ladder — the TPU analog of the reference's ONNX
+O1–O4 / INT8 ladder (scripts/optimize_onnx_whisper.py:46-87,
+quantize_onnx_int8.py:28-45).
+
+Where the reference re-serializes graphs at increasing ORT optimization
+levels plus a dynamic-INT8 copy, the TPU framework expresses the ladder as
+compile/precision configurations over one weight set:
+
+  x0   fp32, HIGHEST matmul precision — strict token-parity reference
+  x1   fp32, HIGH precision           — fp32 storage, faster MXU passes
+  x2   bf16                           — standard TPU serving precision
+  x3   bf16 + fused Pallas front end  — log-mel fused into one kernel
+  x4   bf16 + int8 weights            — per-channel weight quantization
+                                        (MatMul-only scope, matching
+                                        quantize_onnx_int8.py:37-42)
+
+`int8` is accepted as an alias of x4 to mirror the reference's naming.
+Each variant can be materialized as a model-dir with a metadata.json
+sidecar, mirroring optimization_metadata.json (scripts/optimize_onnx_whisper.py:56-58).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, asdict
+from typing import Dict
+
+from whisper_tpu.runtime.session import RuntimeCfg
+
+
+@dataclass(frozen=True)
+class VariantSpec:
+    name: str
+    description: str
+    dtype: str
+    matmul_precision: str
+    fused_frontend: bool = False
+    int8_weights: bool = False
+
+
+LADDER: Dict[str, VariantSpec] = {
+    "x0": VariantSpec("x0", "fp32 strict parity (HIGHEST precision)",
+                      "float32", "highest"),
+    "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
+                      "float32", "high"),
+    "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
+    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel front end",
+                      "bfloat16", "default", fused_frontend=True),
+    "x4": VariantSpec("x4", "bf16 + int8 per-channel weight matmuls",
+                      "bfloat16", "default", fused_frontend=True,
+                      int8_weights=True),
+}
+LADDER["int8"] = LADDER["x4"]
+
+
+def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
+    """Return a copy of `cfg` with the variant's dtype/precision applied."""
+    try:
+        spec = LADDER[name]
+    except KeyError:
+        raise KeyError(f"Unknown variant {name!r}; known: {sorted(LADDER)}")
+    import dataclasses
+
+    return (
+        dataclasses.replace(
+            cfg, dtype=spec.dtype, matmul_precision=spec.matmul_precision
+        ),
+        spec,
+    )
+
+
+def write_variant_metadata(model_dir: str, spec: VariantSpec,
+                           base_model_id: str) -> None:
+    """metadata.json sidecar mirroring the reference's
+    optimization_metadata.json convention."""
+    meta = {
+        "variant": spec.name,
+        "description": spec.description,
+        **asdict(spec),
+        "base_model_id": base_model_id,
+        "framework": "whisper_tpu",
+    }
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "optimization_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
