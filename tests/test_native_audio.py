@@ -1,0 +1,90 @@
+"""Native C++ audio decoder tests (builds the library on demand).
+
+The native decoder (libavformat/libavcodec) must be sample-exact vs the
+pure-Python WAV reader for PCM inputs (both mirror the reference's
+normalization, src/main.rs:241-307).
+"""
+
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "whisper_tpu", "native",
+)
+
+
+@pytest.fixture(scope="module")
+def native():
+    from whisper_tpu.native import audio_native
+
+    if not audio_native.available():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ toolchain")
+        r = subprocess.run(
+            ["make", "-C", NATIVE_DIR], capture_output=True, text=True
+        )
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-400:]}")
+        # reset the module's load cache
+        audio_native._load_attempted = False
+        audio_native._lib = None
+    if not audio_native.available():
+        pytest.skip("native library unavailable after build")
+    return audio_native
+
+
+def _write_wav(path, data, sr=16000, channels=1):
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, channels, sr,
+        sr * channels * 2, channels * 2, 16, b"data", len(pcm),
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + pcm)
+
+
+class TestNativeDecoder:
+    def test_matches_python_wav_reader(self, native, tmp_path):
+        from whisper_tpu.audio.wav import read_wav
+
+        rng = np.random.default_rng(3)
+        p = tmp_path / "m.wav"
+        _write_wav(p, rng.normal(0, 0.3, 32000), sr=16000)
+        mono_n, sr_n = native.decode_mono(str(p))
+        mono_p, sr_p = read_wav(str(p))
+        assert sr_n == sr_p == 16000
+        np.testing.assert_array_equal(mono_n, mono_p)
+
+    def test_stereo_downmix(self, native, tmp_path):
+        from whisper_tpu.audio.wav import read_wav
+
+        rng = np.random.default_rng(4)
+        inter = rng.normal(0, 0.2, 2 * 8000)
+        p = tmp_path / "s.wav"
+        _write_wav(p, inter, sr=22050, channels=2)
+        mono_n, sr = native.decode_mono(str(p))
+        mono_p, _ = read_wav(str(p))
+        assert sr == 22050
+        np.testing.assert_allclose(mono_n, mono_p, atol=1e-7)
+
+    def test_missing_file_error(self, native):
+        with pytest.raises(RuntimeError):
+            native.decode_mono("/does/not/exist.wav")
+
+    def test_io_facade_prefers_native(self, native, tmp_path):
+        import whisper_tpu.audio.io as aio
+
+        aio._native_checked = False
+        aio._native = None
+        p = tmp_path / "f.wav"
+        _write_wav(p, np.zeros(16000), sr=16000)
+        mono, sr, dur = aio.load_audio_16k_mono(str(p))
+        assert aio._get_native() is not None
+        assert sr == 16000 and abs(dur - 1.0) < 1e-3
