@@ -41,19 +41,31 @@ SAMPLE_RATE = 16_000
 
 def compute_mel_full(session: WhisperSession, audio_16k: np.ndarray) -> Tuple[np.ndarray, int]:
     """Whole-file log-mel on device (ref src/main.rs:871). Returns
-    ([n_mels, F_bucket] numpy, true frame count)."""
+    ([n_mels, F_bucket] numpy, true frame count).
+
+    Uses the fused Pallas kernel when cfg.fused_frontend is set (variant
+    x3+); on non-TPU backends the kernel runs in interpret mode."""
     import jax.numpy as jnp
 
     audio_16k = np.asarray(audio_16k, dtype=np.float32)
     padded = golden.reflect_pad(audio_16k)
     n_valid = golden.num_frames(audio_16k.shape[0])
     bucket = mel_frame_bucket(n_valid)
-    mel = log_mel_jax(
-        jnp.asarray(padded),
-        jnp.int32(n_valid),
-        n_mels=session.dims.n_mels,
-        n_frames=bucket,
-    )
+    if session.cfg.fused_frontend:
+        from whisper_tpu.ops.pallas_mel import log_mel_pallas
+
+        mel = log_mel_pallas(
+            jnp.asarray(padded), jnp.int32(n_valid),
+            n_mels=session.dims.n_mels, n_frames=bucket,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        mel = log_mel_jax(
+            jnp.asarray(padded),
+            jnp.int32(n_valid),
+            n_mels=session.dims.n_mels,
+            n_frames=bucket,
+        )
     return np.asarray(jax.block_until_ready(mel)), n_valid
 
 

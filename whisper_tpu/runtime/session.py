@@ -61,6 +61,7 @@ class RuntimeCfg:
     matmul_precision: str = "default"
     max_batch: int = 16
     donate_cache: bool = True
+    fused_frontend: bool = False  # Pallas fused log-mel kernel (variant x3+)
     data_parallel: int = 1
     tensor_parallel: int = 1
     # --- reference echo fields (ref src/main.rs:92-122) ---

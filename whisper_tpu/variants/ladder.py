@@ -64,7 +64,10 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
 
     return (
         dataclasses.replace(
-            cfg, dtype=spec.dtype, matmul_precision=spec.matmul_precision
+            cfg,
+            dtype=spec.dtype,
+            matmul_precision=spec.matmul_precision,
+            fused_frontend=spec.fused_frontend,
         ),
         spec,
     )
