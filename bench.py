@@ -47,7 +47,9 @@ def main() -> None:
 
     dims = get_dims("openai/whisper-base")
     params = init_params(dims, seed=0)
-    cfg, _ = apply_variant(RuntimeCfg(), "x2")  # bf16 serving variant
+    # x4: bf16 + fused Pallas front end + int8 matmul weights (fastest rung
+    # of the optimization ladder, whisper_tpu/variants/ladder.py).
+    cfg, _ = apply_variant(RuntimeCfg(), "x4")
     session = WhisperSession(params, dims, cfg)
 
     audio = synth_audio(AUDIO_SECONDS)

@@ -1,0 +1,116 @@
+"""Int8 weight quantization tests (analog of quantize_onnx_int8.py scope:
+matmul weights only, per-channel)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_tpu.models.convert import init_params, load_params, save_params
+from whisper_tpu.models.registry import get_dims
+from whisper_tpu.variants.quant import (
+    QTensor,
+    dequantize,
+    is_quantized,
+    quantize_params,
+    quantize_tensor,
+)
+
+
+class TestQuantizeTensor:
+    def test_roundtrip_error_bounded(self):
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.05, (4, 64, 128)).astype(np.float32)
+        qt = quantize_tensor(w)
+        assert qt.q.dtype == jnp.int8
+        assert qt.s.shape == (4, 1, 128)
+        back = np.asarray(dequantize(qt, jnp.float32))
+        # per-channel symmetric: error <= scale/2 per element
+        scale = np.asarray(qt.s)
+        assert np.all(np.abs(back - w) <= scale / 2 + 1e-9)
+
+    def test_scale_uses_column_absmax(self):
+        w = np.zeros((2, 3), dtype=np.float32)
+        w[0, 1] = 1.27
+        qt = quantize_tensor(w)
+        assert abs(float(qt.s[0, 1]) - 0.01) < 1e-6
+        assert int(qt.q[0, 1]) == 127
+
+
+class TestQuantizeParams:
+    def test_scope_matches_reference(self):
+        dims = get_dims("test/whisper-nano")
+        params = quantize_params(init_params(dims))
+        assert is_quantized(params)
+        enc = params["encoder"]
+        # matmul weights quantized
+        assert isinstance(enc["blocks"]["q_w"], QTensor)
+        assert isinstance(enc["blocks"]["fc2_w"], QTensor)
+        assert isinstance(params["decoder"]["blocks"]["xk_w"], QTensor)
+        # conv / embeddings / norms / biases stay fp
+        assert not isinstance(enc["conv1_w"], QTensor)
+        assert not isinstance(enc["blocks"]["q_b"], QTensor)
+        assert not isinstance(params["decoder"]["tok_emb"], QTensor)
+        assert not isinstance(enc["blocks"]["attn_ln_s"], QTensor)
+
+    def test_forward_close_to_fp32(self):
+        from whisper_tpu.models import whisper
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=2)
+        rng = np.random.default_rng(1)
+        mel = rng.normal(0, 1, (1, dims.n_mels, 200)).astype(np.float32)
+        want = np.asarray(whisper.encoder_apply(params, dims, jnp.asarray(mel)))
+        got = np.asarray(
+            whisper.encoder_apply(quantize_params(params), dims, jnp.asarray(mel))
+        )
+        # int8 weights: small relative error, same shape/scale of outputs
+        assert np.abs(got - want).max() < 0.12
+        assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+    def test_save_load_roundtrip(self, tmp_path):
+        dims = get_dims("test/whisper-nano")
+        params = quantize_params(init_params(dims))
+        save_params(params, dims, str(tmp_path / "m"))
+        loaded, dims2 = load_params(str(tmp_path / "m"))
+        assert dims2 == dims
+        qt = loaded["encoder"]["blocks"]["q_w"]
+        assert isinstance(qt, QTensor)
+        np.testing.assert_array_equal(
+            np.asarray(qt.q), np.asarray(params["encoder"]["blocks"]["q_w"].q)
+        )
+
+    def test_quantize_model_dir_tool(self, tmp_path):
+        from whisper_tpu.variants.quantize_int8 import quantize_model_dir
+
+        dims = get_dims("test/whisper-nano")
+        src = tmp_path / "model"
+        save_params(init_params(dims), dims, str(src),
+                    extra_config={"model_id": "test/whisper-nano"})
+        (src / "generation_config.json").write_text('{"suppress_tokens": [1]}')
+        out = quantize_model_dir(str(src))
+        assert out == str(src) + "-int8"
+        loaded, _ = load_params(out)
+        assert is_quantized(loaded)
+        assert os.path.isfile(os.path.join(out, "generation_config.json"))
+        meta = json.load(open(os.path.join(out, "optimization_metadata.json")))
+        assert meta["int8_weights"] is True
+
+
+class TestSessionInt8:
+    def test_int8_session_generates(self):
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.variants.ladder import apply_variant
+
+        dims = get_dims("test/whisper-nano")
+        cfg, spec = apply_variant(RuntimeCfg(max_batch=2), "int8")
+        assert cfg.int8_weights and spec.name == "x4"
+        sess = WhisperSession(init_params(dims, seed=3), dims, cfg)
+        rng = np.random.default_rng(0)
+        mel = rng.normal(0, 1, (2, dims.n_mels, 3000)).astype(np.float32)
+        toks = sess.transcribe_chunks(mel, prompt=[3, 4], max_new_tokens=4,
+                                      eot_id=2)
+        assert toks.shape == (2, 4)

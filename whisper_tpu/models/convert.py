@@ -94,8 +94,16 @@ def init_params(dims: WhisperDims, seed: int = 0, dtype=jnp.float32) -> Dict:
 
 
 def cast_params(params: Dict, dtype) -> Dict:
-    """Cast all floating-point leaves to `dtype` as jnp arrays."""
-    return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
+    """Cast floating-point leaves to `dtype` as jnp arrays.  Int8 QTensor
+    leaves keep int8 storage + float32 scales (dequant happens at use)."""
+    from whisper_tpu.variants.quant import QTensor
+
+    def cast(x):
+        if isinstance(x, QTensor):
+            return QTensor(q=jnp.asarray(x.q), s=jnp.asarray(x.s))
+        return jnp.asarray(x, dtype=dtype)
+
+    return jax.tree.map(cast, params, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +202,15 @@ def params_from_hf_state_dict(sd: Dict[str, Any], dims: WhisperDims) -> Dict:
 # ---------------------------------------------------------------------------
 
 def _flatten(params: Dict, prefix="") -> Dict[str, np.ndarray]:
+    from whisper_tpu.variants.quant import QTensor
+
     out = {}
     for k, v in params.items():
         key = f"{prefix}{k}"
-        if isinstance(v, dict):
+        if isinstance(v, QTensor):
+            out[key + ".q8"] = np.asarray(v.q)
+            out[key + ".scale"] = np.asarray(v.s)
+        elif isinstance(v, dict):
             out.update(_flatten(v, key + "/"))
         else:
             out[key] = np.asarray(v)
@@ -205,13 +218,26 @@ def _flatten(params: Dict, prefix="") -> Dict[str, np.ndarray]:
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    from whisper_tpu.variants.quant import QTensor
+
     out: Dict = {}
+    pending_q: Dict[str, Dict[str, np.ndarray]] = {}
     for key, v in flat.items():
+        if key.endswith(".q8") or key.endswith(".scale"):
+            base, _, kind = key.rpartition(".")
+            pending_q.setdefault(base, {})[kind] = v
+            continue
         parts = key.split("/")
         node = out
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
+    for base, parts_q in pending_q.items():
+        parts = base.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = QTensor(q=parts_q["q8"], s=parts_q["scale"])
     return out
 
 

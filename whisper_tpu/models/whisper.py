@@ -76,6 +76,8 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
 
 
 def _dense(x, w, b, precision):
+    if type(w).__name__ == "QTensor":  # int8 weight (variants.quant)
+        w = w.q.astype(x.dtype) * w.s.astype(x.dtype)
     y = jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
     return y if b is None else y + b
 

@@ -106,7 +106,10 @@ def log_mel_pallas(
 
     # Hop-strided row views: frame f = rows f, f+1, f+2 of [*, HOP] reshape.
     need = (nf_pad + 2) * HOP
-    audio = padded_audio.astype(jnp.float32)
+    if padded_audio.dtype == jnp.int16:  # see frontend.mel: transfer as int16
+        audio = padded_audio.astype(jnp.float32) * (1.0 / 32767.0)
+    else:
+        audio = padded_audio.astype(jnp.float32)
     audio = jnp.pad(audio, (0, max(0, need - audio.shape[0])))
     rows = audio[:need].reshape(nf_pad + 2, HOP)
     a0 = rows[:nf_pad]

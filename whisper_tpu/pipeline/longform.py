@@ -95,18 +95,27 @@ def transcribe_longform(
     overlap = int(round(overlap_s * SAMPLE_RATE))
     step = max(chunk_len - overlap, 1)
 
-    # 1. whole-file mel (device), then 2. chunk geometry
+    # 1. whole-file mel on device (ref src/main.rs:871). The mel stays on
+    # device: host<->device transfers over the tunnel are far slower than
+    # the compute, so chunk slicing happens inside the jitted program.
     tp0 = time.perf_counter()
-    mel_full, total_frames = compute_mel_full(session, audio_16k)
+    audio_16k = np.asarray(audio_16k, dtype=np.float32)
+    padded = golden.reflect_pad(audio_16k)
+    total_frames = golden.num_frames(len(audio_16k))
+    bucket = mel_frame_bucket(total_frames)
+    mel_dev = jax.block_until_ready(
+        session.compute_mel(padded, total_frames, bucket)
+    )
     preprocess_s = time.perf_counter() - tp0
 
     starts = chunk_starts(len(audio_16k), chunk_len, step)
-    mel_chunks = slice_mel_chunks(mel_full, starts, total_frames)
+    frame_starts = [pos // golden.HOP for pos in starts]
 
-    # 3. one batched encoder+greedy program over all chunks
+    # 3. one batched chunk-slice + encoder + greedy program over all chunks
     tm0 = time.perf_counter()
-    tokens = session.transcribe_chunks(
-        mel_chunks,
+    tokens = session.transcribe_from_mel(
+        mel_dev,
+        frame_starts,
         prompt=prompt,
         max_new_tokens=max_new_tokens,
         eot_id=special.eot,

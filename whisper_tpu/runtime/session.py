@@ -62,6 +62,11 @@ class RuntimeCfg:
     max_batch: int = 16
     donate_cache: bool = True
     fused_frontend: bool = False  # Pallas fused log-mel kernel (variant x3+)
+    int8_weights: bool = False    # per-channel int8 matmul weights (x4/int8)
+    # Host->device audio encoding. The device link is bandwidth-bound for
+    # incompressible (speech-like) data, so int16 halves upload time; fp32
+    # is kept for the strict-parity variants (x0/x1).
+    audio_transfer: str = "int16"
     data_parallel: int = 1
     tensor_parallel: int = 1
     # --- reference echo fields (ref src/main.rs:92-122) ---
@@ -174,6 +179,11 @@ class WhisperSession:
 
         self.cfg = cfg or suggested_cfg()
         self.dims = dims
+        if self.cfg.int8_weights:
+            from whisper_tpu.variants.quant import is_quantized, quantize_params
+
+            if not is_quantized(params):
+                params = quantize_params(params)
         self.params = cast_params(params, self.cfg.jnp_dtype)
         if param_shardings is not None:
             self.params = jax.device_put(self.params, param_shardings)
@@ -213,6 +223,99 @@ class WhisperSession:
             )
             self._masks[key] = (jnp.asarray(base), jnp.asarray(first))
         return self._masks[key]
+
+    # -- on-device mel + chunk slicing (no host round trip) -----------------
+
+    def compute_mel(self, padded_audio: np.ndarray, n_valid: int,
+                    n_frames: int) -> jax.Array:
+        """Whole-file log-mel as a DEVICE array [n_mels, n_frames].
+
+        The result is intentionally not copied to the host: the tunnel D2H
+        path is slow relative to on-chip compute, so chunk slicing happens
+        on device in transcribe_from_mel."""
+        if self.cfg.audio_transfer == "int16" and padded_audio.dtype != np.int16:
+            padded_audio = np.clip(
+                np.asarray(padded_audio, dtype=np.float32), -1.0, 1.0
+            )
+            padded_audio = np.round(padded_audio * 32767.0).astype(np.int16)
+        if self.cfg.fused_frontend:
+            from whisper_tpu.ops.pallas_mel import log_mel_pallas
+
+            return log_mel_pallas(
+                jnp.asarray(padded_audio), jnp.int32(n_valid),
+                n_mels=self.dims.n_mels, n_frames=n_frames,
+                interpret=jax.default_backend() != "tpu",
+            )
+        from whisper_tpu.frontend.mel import log_mel_jax
+
+        return log_mel_jax(
+            jnp.asarray(padded_audio), jnp.int32(n_valid),
+            n_mels=self.dims.n_mels, n_frames=n_frames,
+        )
+
+    def _get_mel_fn(self, n_frames: int, batch: int, prompt_len: int,
+                    max_new: int, eot_id: int):
+        """Compiled program: device mel [n_mels, F] + frame starts [B] ->
+        generated tokens [B, max_new].  Chunk extraction (zero-padded
+        3000-frame windows, ref src/main.rs:899-905) runs on device."""
+        key = ("mel", n_frames, batch, prompt_len, max_new, eot_id)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+            from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+
+            def run(params, mel, starts, prompt, suppress, first_suppress):
+                mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
+                chunks = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        mel_pad, (0, s), (dims.n_mels, CHUNK_FRAMES)
+                    )
+                )(starts)
+                enc = whisper.encoder_apply(params, dims, chunks,
+                                            precision=precision)
+                return greedy_generate(
+                    params, dims, enc, prompt, suppress, first_suppress,
+                    max_new_tokens=max_new, eot_id=eot_id,
+                    precision=precision,
+                )
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def transcribe_from_mel(
+        self,
+        mel: jax.Array,                  # [n_mels, F] device array
+        frame_starts: Sequence[int],
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+    ) -> np.ndarray:
+        """Transcribe chunks sliced (on device) from a whole-file mel.
+
+        Returns generated tokens [len(frame_starts), max_new_tokens]."""
+        c = len(frame_starts)
+        n_frames = mel.shape[1]
+        prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
+        base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
+
+        out = np.empty((c, max_new_tokens), dtype=np.int32)
+        cap = self.cfg.max_batch
+        start = 0
+        while start < c:
+            n = min(cap, c - start)
+            bucket = _bucket_batch(n, cap)
+            # Padding rows point at the zero region appended on device.
+            starts = np.full(bucket, n_frames, dtype=np.int32)
+            starts[:n] = np.asarray(frame_starts[start : start + n],
+                                    dtype=np.int32)
+            fn = self._get_mel_fn(n_frames, bucket, len(prompt),
+                                  max_new_tokens, eot_id)
+            toks = fn(self.params, mel, jnp.asarray(starts), prompt_arr,
+                      base_mask, first_mask)
+            out[start : start + n] = np.asarray(toks)[:n]
+            start += n
+        return out
 
     # -- public API ---------------------------------------------------------
 

@@ -37,13 +37,14 @@ class VariantSpec:
     matmul_precision: str
     fused_frontend: bool = False
     int8_weights: bool = False
+    audio_transfer: str = "int16"
 
 
 LADDER: Dict[str, VariantSpec] = {
     "x0": VariantSpec("x0", "fp32 strict parity (HIGHEST precision)",
-                      "float32", "highest"),
+                      "float32", "highest", audio_transfer="float32"),
     "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
-                      "float32", "high"),
+                      "float32", "high", audio_transfer="float32"),
     "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
     "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel front end",
                       "bfloat16", "default", fused_frontend=True),
@@ -68,6 +69,8 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             dtype=spec.dtype,
             matmul_precision=spec.matmul_precision,
             fused_frontend=spec.fused_frontend,
+            int8_weights=spec.int8_weights,
+            audio_transfer=spec.audio_transfer,
         ),
         spec,
     )
