@@ -177,9 +177,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     # Warmup (ref src/main.rs:1131-1152) — also triggers XLA compilation.
+    # Beyond the reference's first-file warmup, pre-compile the batch
+    # buckets every file in this run will hit, so no compile lands inside
+    # the measured loop (chunk counts follow from durations, which the
+    # audio loader gives us cheaply relative to a compile).
     if args.warmup > 0:
+        audios = {}
         a0, sr0, _ = load_audio_16k_mono(os.path.join(args.audio_dir, files[0]))
         assert sr0 == 16_000
+        audios[files[0]] = a0
+
+        from whisper_tpu.pipeline.warmup import warm_buckets
+
+        warm_buckets(
+            session,
+            durations_s=[
+                load_audio_16k_mono(os.path.join(args.audio_dir, f))[2]
+                if f not in audios else len(audios[f]) / 16000.0
+                for f in files
+            ],
+            language=args.language, task=args.task,
+            max_new_tokens=args.max_new_tokens,
+            chunk_length_s=args.chunk_length_s, overlap_s=args.overlap_s,
+            tokenizer=tokenizer, timestamps=args.timestamps, gen_cfg=gen_cfg,
+        )
         for _ in range(args.warmup):
             transcribe_longform(
                 session, a0, args.language, args.task, args.max_new_tokens,
