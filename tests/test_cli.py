@@ -133,6 +133,49 @@ class TestCli:
         jrows = json.load(open(out / "j.json"))
         assert jrows[0]["text"].startswith("[TOKENS:") or jrows[0]["text"] == ""
 
+    def test_timestamps_mode_renders_markers(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rts"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "6",
+            "--timestamps",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["timestamps"] is True
+        jrows = json.load(open(out / "j.json"))
+        # Grammar forces the first token to be a timestamp -> marker text.
+        assert "<|" in jrows[0]["text"]
+
+    def test_beam_flag_runs_and_echoes(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rbeam"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "4",
+            "--num-beams", "2",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["config_used"]["num_beams"] == 2
+
     def test_missing_model_dir_fails(self, audio_dir, tmp_path):
         from whisper_tpu.bench.cli import main
 

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(rounded to a power of two)")
     p.add_argument("--chunk-length-s", type=float, default=30.0)
     p.add_argument("--overlap-s", type=float, default=5.0)
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search width (1 = greedy, matching the "
+                        "reference rust SUT; >1 matches the python SUTs)")
+    p.add_argument("--length-penalty", type=float, default=1.0)
     # --- TPU-native extras ---
     p.add_argument("--variant", default="",
                    choices=["", "x0", "x1", "x2", "x3", "x4", "int8"],
@@ -200,12 +204,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             max_new_tokens=args.max_new_tokens,
             chunk_length_s=args.chunk_length_s, overlap_s=args.overlap_s,
             tokenizer=tokenizer, timestamps=args.timestamps, gen_cfg=gen_cfg,
+            num_beams=args.num_beams, length_penalty=args.length_penalty,
         )
         for _ in range(args.warmup):
             transcribe_longform(
                 session, a0, args.language, args.task, args.max_new_tokens,
                 args.chunk_length_s, args.overlap_s, tokenizer,
-                args.timestamps, gen_cfg,
+                args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
             )
 
     rows: List[RowOut] = []
@@ -222,7 +227,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         text, t = transcribe_longform(
             session, audio, args.language, args.task, args.max_new_tokens,
             args.chunk_length_s, args.overlap_s, tokenizer,
-            args.timestamps, gen_cfg,
+            args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
         )
 
         e2e = load_s + t.end_to_end_s
@@ -254,8 +259,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if variant_note:
         notes["variant"] = variant_note
 
+    config_echo = cfg.to_dict()
+    config_echo["num_beams"] = args.num_beams
     summary = build_summary(
-        config_used=cfg.to_dict(),
+        config_used=config_echo,
         rows=rows,
         end2end=end2end, load=load_l, preprocess=pre_l,
         model_only=model_l, decode=dec_l, rtf_end2end=rtf_l,

@@ -80,6 +80,8 @@ def transcribe_longform(
     tokenizer: Optional[WhisperDetokenizer] = None,
     timestamps: bool = False,
     gen_cfg: Optional[GenerationCfg] = None,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
     (stitched text, Timing)."""
@@ -88,8 +90,20 @@ def transcribe_longform(
 
     special = special_tokens(language, task, tokenizer)
     prompt = [special.sot, special.lang, special.task]
+    ts_cfg = None
+    ts_begin = special.no_timestamps + 1
     if not timestamps:
         prompt.append(special.no_timestamps)
+    else:
+        # Real timestamp decoding (grammar enforced on device) — the
+        # reference only toggles the prompt token (src/main.rs:853-856).
+        from whisper_tpu.runtime.timestamps import TimestampCfg
+
+        ts_cfg = TimestampCfg(
+            timestamp_begin=ts_begin,
+            eot_id=special.eot,
+            no_timestamps_id=special.no_timestamps,
+        )
 
     chunk_len = int(round(chunk_length_s * SAMPLE_RATE))
     overlap = int(round(overlap_s * SAMPLE_RATE))
@@ -121,6 +135,9 @@ def transcribe_longform(
         eot_id=special.eot,
         suppress_ids=gen_cfg.suppress_tokens,
         begin_suppress_ids=gen_cfg.begin_suppress_tokens,
+        num_beams=num_beams,
+        length_penalty=length_penalty,
+        ts_cfg=ts_cfg,
     )
     model_only_s = time.perf_counter() - tm0
 
@@ -130,7 +147,10 @@ def transcribe_longform(
     for row in tokens:
         gen = strip_generated(row, special.eot)
         if tokenizer is not None:
-            text = tokenizer.decode(gen, skip_special_tokens=True)
+            text = tokenizer.decode(
+                gen, skip_special_tokens=True,
+                timestamp_begin=ts_begin if timestamps else None,
+            )
         else:
             # No tokenizer: print ids, like the reference (src/main.rs:643-647).
             text = f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]" if gen else ""

@@ -61,6 +61,8 @@ def warm_buckets(
     tokenizer=None,
     timestamps: bool = False,
     gen_cfg=None,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> int:
     """Transcribe synthetic zero audio once per distinct compile shape.
 
@@ -77,5 +79,6 @@ def warm_buckets(
         transcribe_longform(
             session, audio, language, task, max_new_tokens,
             chunk_length_s, overlap_s, tokenizer, timestamps, gen_cfg,
+            num_beams, length_penalty,
         )
     return len(durs)

@@ -50,13 +50,20 @@ def greedy_generate(
     max_new_tokens: int,
     eot_id: int,
     *,
+    ts_cfg=None,                  # TimestampCfg to enforce timestamp grammar
     precision=None,
 ) -> jax.Array:
     """Returns generated tokens [B, max_new_tokens] (prompt excluded).
 
     Rows finished early are padded with EOT; the host strips the prompt and
     trailing EOT exactly like the reference (src/main.rs:926-943).
+
+    With ts_cfg set, the Whisper timestamp grammar
+    (whisper_tpu.runtime.timestamps) is enforced at every step — real
+    timestamp decoding, which the reference lacks (src/main.rs:853-856).
     """
+    from whisper_tpu.runtime import timestamps as ts
+
     b = enc_states.shape[0]
     p = prompt.shape[0]
     max_len = p + max_new_tokens
@@ -65,32 +72,42 @@ def greedy_generate(
     logits, cache = whisper.decoder_prefill(
         params, dims, tokens, enc_states, max_len, precision=precision
     )
-    first = jnp.argmax(logits[:, -1, :] + first_suppress_mask, axis=-1).astype(
-        jnp.int32
-    )
+    first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
+    ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None
+    if ts_cfg is not None:
+        first_logits = ts.apply_rules(first_logits, ts_state, jnp.int32(0),
+                                      ts_cfg)
+    first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    if ts_cfg is not None:
+        ts_state = ts.update_state(ts_state, first, ts_cfg)
 
     buf = jnp.full((b, max_new_tokens), eot_id, dtype=jnp.int32)
     buf = buf.at[:, 0].set(first)
     done = first == eot_id
 
     def cond(state):
-        i, _, _, done, _ = state
+        i, _, _, done, _, _ = state
         return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        i, buf, last, done, cache = state
+        i, buf, last, done, cache, ts_state = state
         # `last` was generated as token index p+i-1 in the full sequence.
         step_logits, cache = whisper.decoder_step(
             params, dims, last, p + i - 1, cache, precision=precision
         )
-        nxt = jnp.argmax(step_logits + suppress_mask, axis=-1).astype(jnp.int32)
+        step_logits = step_logits.astype(jnp.float32) + suppress_mask
+        if ts_cfg is not None:
+            step_logits = ts.apply_rules(step_logits, ts_state, i, ts_cfg)
+        nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot_id, nxt)
+        if ts_cfg is not None:
+            ts_state = ts.update_state(ts_state, nxt, ts_cfg)
         buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, i))
         done = jnp.logical_or(done, nxt == eot_id)
-        return i + 1, buf, nxt, done, cache
+        return i + 1, buf, nxt, done, cache, ts_state
 
-    _, buf, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), buf, first, done, cache)
+    _, buf, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), buf, first, done, cache, ts_state)
     )
     return buf
 

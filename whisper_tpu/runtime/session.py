@@ -254,11 +254,14 @@ class WhisperSession:
         )
 
     def _get_mel_fn(self, n_frames: int, batch: int, prompt_len: int,
-                    max_new: int, eot_id: int):
+                    max_new: int, eot_id: int, num_beams: int = 1,
+                    length_penalty: float = 1.0, ts_cfg=None):
         """Compiled program: device mel [n_mels, F] + frame starts [B] ->
         generated tokens [B, max_new].  Chunk extraction (zero-padded
-        3000-frame windows, ref src/main.rs:899-905) runs on device."""
-        key = ("mel", n_frames, batch, prompt_len, max_new, eot_id)
+        3000-frame windows, ref src/main.rs:899-905) runs on device.
+        num_beams > 1 switches the token loop to on-device beam search."""
+        key = ("mel", n_frames, batch, prompt_len, max_new, eot_id,
+               num_beams, length_penalty, ts_cfg)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
@@ -272,9 +275,19 @@ class WhisperSession:
                 )(starts)
                 enc = whisper.encoder_apply(params, dims, chunks,
                                             precision=precision)
+                if num_beams > 1:
+                    from whisper_tpu.runtime.beam import beam_generate
+
+                    tokens, _ = beam_generate(
+                        params, dims, enc, prompt, suppress, first_suppress,
+                        max_new_tokens=max_new, eot_id=eot_id,
+                        num_beams=num_beams, length_penalty=length_penalty,
+                        ts_cfg=ts_cfg, precision=precision,
+                    )
+                    return tokens
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
-                    max_new_tokens=max_new, eot_id=eot_id,
+                    max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     precision=precision,
                 )
 
@@ -290,6 +303,9 @@ class WhisperSession:
         eot_id: int,
         suppress_ids: Sequence[int] | None = None,
         begin_suppress_ids: Sequence[int] | None = None,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
+        ts_cfg=None,
     ) -> np.ndarray:
         """Transcribe chunks sliced (on device) from a whole-file mel.
 
@@ -310,7 +326,8 @@ class WhisperSession:
             starts[:n] = np.asarray(frame_starts[start : start + n],
                                     dtype=np.int32)
             fn = self._get_mel_fn(n_frames, bucket, len(prompt),
-                                  max_new_tokens, eot_id)
+                                  max_new_tokens, eot_id, num_beams,
+                                  length_penalty, ts_cfg)
             toks = fn(self.params, mel, jnp.asarray(starts), prompt_arr,
                       base_mask, first_mask)
             out[start : start + n] = np.asarray(toks)[:n]

@@ -71,7 +71,12 @@ class WhisperDetokenizer:
         """Lookup used for special-token resolution (ref src/main.rs:530-541)."""
         return self._token_to_id.get(token)
 
-    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True,
+               timestamp_begin: Optional[int] = None) -> str:
+        """Decode ids to text.  With `timestamp_begin`, ids at or above it
+        render as ``<|x.xx|>`` markers (0.02 s per step) — Whisper timestamp
+        tokens often live beyond the BPE vocab, like HF's
+        decode_with_timestamps handles them."""
         parts: List[str] = []
         byte_buf = bytearray()
 
@@ -81,6 +86,10 @@ class WhisperDetokenizer:
                 byte_buf.clear()
 
         for i in ids:
+            if timestamp_begin is not None and i >= timestamp_begin:
+                flush()
+                parts.append(f"<|{(i - timestamp_begin) * 0.02:.2f}|>")
+                continue
             if i < 0 or i >= len(self._tokens):
                 continue
             tok = self._tokens[i]
