@@ -176,6 +176,26 @@ class TestCli:
         s = json.load(open(out / "s.json"))
         assert s["config_used"]["num_beams"] == 2
 
+    def test_prefetch_pipeline_two_files(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rpre"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--intra-op", "2",          # enables host-side prefetch
+            "--max-new-tokens", "3",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["n_files"] == 2
+        assert s["config_used"]["intra_op"] == 2
+
     def test_missing_model_dir_fails(self, audio_dir, tmp_path):
         from whisper_tpu.bench.cli import main
 

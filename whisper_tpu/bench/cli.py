@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
                         "without converted weights)")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the measured loop "
+                        "to this directory (TensorBoard-compatible)")
     return p
 
 
@@ -217,12 +220,40 @@ def main(argv: Optional[List[str]] = None) -> int:
     end2end, load_l, pre_l, model_l, dec_l, rtf_l = [], [], [], [], [], []
     txt_dir = os.path.dirname(args.out_csv) or "."
 
-    for fnm in files:
-        path = os.path.join(args.audio_dir, fnm)
+    # Host-side pipelining: with intra_op >= 2 (the TPU reading of the
+    # reference's host-thread knob, src/main.rs:92-122) the next file's
+    # decode+resample overlaps the current file's transcription; load_s
+    # then measures only the wait actually incurred.
+    executor = None
+    next_future = None
+    if cfg.intra_op >= 2 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+
+    def _load(fnm):
+        return load_audio_16k_mono(os.path.join(args.audio_dir, fnm))
+
+    if executor is not None:
+        next_future = executor.submit(_load, files[0])
+
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
+    for idx, fnm in enumerate(files):
         tl0 = time.perf_counter()
-        audio, sr, dur = load_audio_16k_mono(path)
+        if executor is not None:
+            audio, sr, dur = next_future.result()
+        else:
+            audio, sr, dur = _load(fnm)
         load_s = time.perf_counter() - tl0
         assert sr == 16_000
+        if executor is not None and idx + 1 < len(files):
+            next_future = executor.submit(_load, files[idx + 1])
 
         text, t = transcribe_longform(
             session, audio, args.language, args.task, args.max_new_tokens,
@@ -244,6 +275,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             stem = Path(fnm).stem
             with open(os.path.join(txt_dir, f"{stem}.transcript.txt"), "w") as f:
                 f.write(text.strip() + "\n")
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if executor is not None:
+        executor.shutdown(wait=False)
 
     write_per_file_csv(rows, args.out_csv)
     write_per_file_json(rows, args.out_json)
