@@ -1,0 +1,155 @@
+"""Serving-layer tests: continuous-batching engine (cross-stream fusion,
+long-form fallback, error isolation) and the JSON-lines TCP server."""
+
+import asyncio
+import base64
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from whisper_tpu.models.convert import init_params
+from whisper_tpu.models.registry import get_dims
+from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+
+
+@pytest.fixture(scope="module")
+def session():
+    dims = get_dims("test/whisper-nano")
+    return WhisperSession(
+        init_params(dims, seed=0), dims,
+        RuntimeCfg(dtype="float32", max_batch=4),
+    )
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 0.1, int(seconds * 16000)).astype(np.float32)
+
+
+class TestEngine:
+    def test_concurrent_short_requests_batched(self, session):
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=50),
+        )
+        try:
+            eng.warmup(batch=4)
+            futs = [eng.submit(_audio(2.0, seed=i)) for i in range(4)]
+            texts = [f.result(timeout=120) for f in futs]
+            assert len(texts) == 4
+            assert all(t.startswith("[TOKENS:") or t == "" for t in texts)
+            # The coalescing window should have fused them into few batches.
+            assert eng.stats["batched_requests"] == 4
+            assert eng.stats["batches"] <= 2
+        finally:
+            eng.close()
+
+    def test_batched_results_match_individual(self, session):
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=4, batch_window_ms=50),
+        )
+        try:
+            eng.warmup(batch=2)
+            a0, a1 = _audio(1.5, seed=7), _audio(2.5, seed=8)
+            # individually (empty queue -> each its own batch)
+            t0 = eng.transcribe(a0)
+            t1 = eng.transcribe(a1)
+            # concurrently
+            futs = [eng.submit(a0), eng.submit(a1)]
+            got = [f.result(timeout=120) for f in futs]
+            assert got == [t0, t1]
+        finally:
+            eng.close()
+
+    def test_long_request_falls_back_to_longform(self, session):
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3),
+        )
+        try:
+            text = eng.transcribe(_audio(40.0, seed=2))  # > 30 s
+            assert eng.stats["longform"] == 1
+            assert isinstance(text, str)
+        finally:
+            eng.close()
+
+    def test_error_isolation(self, session):
+        eng = StreamingEngine(session, cfg=EngineConfig(max_new_tokens=2))
+        try:
+            bad = eng.submit(np.zeros(0, dtype=np.float32))  # empty audio
+            with pytest.raises(Exception):
+                bad.result(timeout=60)
+            # engine still alive
+            ok = eng.transcribe(_audio(1.0, seed=3))
+            assert isinstance(ok, str)
+        finally:
+            eng.close()
+
+
+class TestServer:
+    def test_tcp_roundtrip_concurrent_clients(self, session):
+        from whisper_tpu.serve.server import serve
+
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=30),
+        )
+        eng.warmup(batch=4)
+        port = 18765
+        ready = threading.Event()
+        loop_holder = {}
+
+        def run_loop():
+            loop = asyncio.new_event_loop()
+            loop_holder["loop"] = loop
+            asyncio.set_event_loop(loop)
+
+            class Ev:
+                def set(self):
+                    ready.set()
+
+            try:
+                loop.run_until_complete(serve(eng, "127.0.0.1", port, Ev()))
+            except asyncio.CancelledError:
+                pass
+            finally:
+                loop.close()
+
+        t = threading.Thread(target=run_loop, daemon=True)
+        t.start()
+        assert ready.wait(timeout=30)
+
+        import socket
+
+        def client(i, out):
+            with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+                pcm = (np.clip(_audio(1.0, seed=i), -1, 1) * 32767).astype("<i2")
+                req = {"id": f"r{i}",
+                       "pcm16_b64": base64.b64encode(pcm.tobytes()).decode()}
+                s.sendall((json.dumps(req) + "\n").encode())
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+                out[i] = json.loads(buf)
+
+        out = {}
+        threads = [threading.Thread(target=client, args=(i, out))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+
+        assert set(out) == {0, 1, 2}
+        for i, resp in out.items():
+            assert resp["id"] == f"r{i}"
+            assert "text" in resp and "error" not in resp
+            assert resp["latency_s"] >= 0
+
+        loop = loop_holder["loop"]
+        loop.call_soon_threadsafe(loop.stop)
+        eng.close()

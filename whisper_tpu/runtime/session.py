@@ -334,6 +334,63 @@ class WhisperSession:
             start += n
         return out
 
+    # -- short-utterance batch (serving fast path) --------------------------
+
+    def _get_short_fn(self, audio_len: int, batch: int, prompt_len: int,
+                      max_new: int, eot_id: int, ts_cfg=None):
+        """Compiled program for the streaming serving path: a batch of
+        reflect-padded <=30 s utterances -> mel -> encoder -> greedy, all
+        fused; one program serves every concurrent stream in the batch."""
+        key = ("short", audio_len, batch, prompt_len, max_new, eot_id, ts_cfg)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+            from whisper_tpu.frontend.mel import log_mel_jax
+            from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+
+            def run(params, audio, n_valid, prompt, suppress, first_suppress):
+                mel = jax.vmap(
+                    lambda a, v: log_mel_jax(
+                        a, v, n_mels=dims.n_mels, n_frames=CHUNK_FRAMES
+                    )
+                )(audio, n_valid)                    # [B, n_mels, 3000]
+                enc = whisper.encoder_apply(params, dims, mel,
+                                            precision=precision)
+                return greedy_generate(
+                    params, dims, enc, prompt, suppress, first_suppress,
+                    max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
+                    precision=precision,
+                )
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def transcribe_short_batch(
+        self,
+        padded_audio: np.ndarray,        # [B, L] reflect-padded, <=30s each
+        n_valid_frames: np.ndarray,      # [B] true frame counts
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+        ts_cfg=None,
+    ) -> np.ndarray:
+        """One fused program over a batch of short utterances (the
+        continuous-batching serving path, BASELINE.json config 5)."""
+        b, l = padded_audio.shape
+        if self.cfg.audio_transfer == "int16" and padded_audio.dtype != np.int16:
+            padded_audio = np.round(
+                np.clip(padded_audio, -1.0, 1.0) * 32767.0
+            ).astype(np.int16)
+        prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
+        base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
+        fn = self._get_short_fn(l, b, len(prompt), max_new_tokens, eot_id,
+                                ts_cfg)
+        toks = fn(self.params, jnp.asarray(padded_audio),
+                  jnp.asarray(n_valid_frames.astype(np.int32)),
+                  prompt_arr, base_mask, first_mask)
+        return np.asarray(toks)
+
     # -- public API ---------------------------------------------------------
 
     def transcribe_chunks(

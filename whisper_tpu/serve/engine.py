@@ -1,0 +1,205 @@
+"""Continuous-batching transcription engine.
+
+The TPU answer to BASELINE.json config 5 ("faster-whisper-style continuous
+decode across concurrent streams") — a capability the reference only lists
+as future work (PLAN.md streaming-server ambition):
+
+- concurrent requests land in a queue; a single device worker drains it;
+- short utterances (<= chunk length, the streaming case) from DIFFERENT
+  streams are merged into one fused audio->mel->encode->decode program
+  (session.transcribe_short_batch) per scheduling tick, padded to a
+  power-of-two bucket;
+- long requests fall back to the long-form pipeline (still chunk-batched
+  within the request);
+- a small batching window lets concurrent arrivals coalesce without
+  adding tail latency when the queue is empty.
+
+The engine is transport-agnostic; whisper_tpu.serve.server wraps it in a
+JSON-lines TCP front end.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from whisper_tpu.frontend import golden
+from whisper_tpu.pipeline.longform import transcribe_longform
+from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+from whisper_tpu.runtime.generate import strip_generated
+from whisper_tpu.runtime.genconfig import GenerationCfg
+from whisper_tpu.tokenizer.specials import special_tokens
+
+SAMPLE_RATE = 16_000
+
+
+@dataclass
+class EngineConfig:
+    language: str = "en"
+    task: str = "transcribe"
+    max_new_tokens: int = 128
+    chunk_length_s: float = 30.0
+    overlap_s: float = 5.0
+    batch_window_ms: float = 4.0   # coalescing window once >=1 request waits
+    timestamps: bool = False
+
+
+@dataclass
+class _Request:
+    audio: np.ndarray
+    future: Future
+    enqueued_at: float
+
+
+class StreamingEngine:
+    """Single-device continuous-batching engine over a WhisperSession."""
+
+    def __init__(self, session, tokenizer=None,
+                 cfg: Optional[EngineConfig] = None,
+                 gen_cfg: Optional[GenerationCfg] = None):
+        self.session = session
+        self.tokenizer = tokenizer
+        self.cfg = cfg or EngineConfig()
+        self.gen_cfg = gen_cfg or GenerationCfg()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._special = special_tokens(self.cfg.language, self.cfg.task,
+                                       tokenizer)
+        self._prompt = [self._special.sot, self._special.lang,
+                        self._special.task]
+        if not self.cfg.timestamps:
+            self._prompt.append(self._special.no_timestamps)
+        self._short_limit = int(self.cfg.chunk_length_s * SAMPLE_RATE)
+        self.stats = {"batches": 0, "batched_requests": 0, "longform": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._running = True
+        self._worker.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, audio_16k: np.ndarray) -> Future:
+        """Enqueue one utterance (float32 @16 kHz mono); resolves to the
+        transcript string."""
+        fut: Future = Future()
+        audio = np.asarray(audio_16k, dtype=np.float32)
+        if audio.size == 0:
+            # Reference behavior: empty audio is an error (src/main.rs:414-416).
+            fut.set_exception(ValueError("Empty audio"))
+            return fut
+        self._queue.put(_Request(
+            audio=audio, future=fut, enqueued_at=time.perf_counter(),
+        ))
+        return fut
+
+    def transcribe(self, audio_16k: np.ndarray, timeout: float = 300.0) -> str:
+        return self.submit(audio_16k).result(timeout=timeout)
+
+    def warmup(self, batch: int = 0) -> None:
+        """Compile the short-batch program for the given bucket, or for
+        every power-of-two bucket up to max_batch (a lone request hits
+        bucket 1, a burst hits the bigger ones)."""
+        if batch:
+            buckets = [batch]
+        else:
+            buckets, b = [], 1
+            while b <= self.session.cfg.max_batch:
+                buckets.append(b)
+                b <<= 1
+        for n in buckets:
+            audio = np.zeros(
+                (n, self._short_limit + 2 * 200), dtype=np.float32
+            )
+            n_valid = np.full(n, CHUNK_FRAMES, dtype=np.int32)
+            self.session.transcribe_short_batch(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
+
+    def close(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+
+    # -- worker -------------------------------------------------------------
+
+    def _run(self) -> None:
+        while self._running:
+            req = self._queue.get()
+            if req is None:
+                break
+            batch = [req]
+            # Coalesce: brief window for concurrent arrivals.
+            deadline = time.perf_counter() + self.cfg.batch_window_ms / 1000.0
+            cap = self.session.cfg.max_batch
+            while len(batch) < cap:
+                remaining = deadline - time.perf_counter()
+                try:
+                    nxt = self._queue.get(
+                        timeout=max(remaining, 0) if remaining > 0 else 0
+                    )
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._running = False
+                    break
+                batch.append(nxt)
+
+            short = [r for r in batch if len(r.audio) <= self._short_limit]
+            long = [r for r in batch if len(r.audio) > self._short_limit]
+            if short:
+                try:
+                    self._process_short(short)
+                except Exception as e:  # resolve futures, keep serving
+                    for r in short:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+            for r in long:
+                try:
+                    self.stats["longform"] += 1
+                    text, _ = transcribe_longform(
+                        self.session, r.audio, self.cfg.language,
+                        self.cfg.task, self.cfg.max_new_tokens,
+                        self.cfg.chunk_length_s, self.cfg.overlap_s,
+                        self.tokenizer, self.cfg.timestamps, self.gen_cfg,
+                    )
+                    r.future.set_result(text)
+                except Exception as e:
+                    r.future.set_exception(e)
+
+    def _process_short(self, reqs: List[_Request]) -> None:
+        """One fused program over all short requests in this tick."""
+        n = len(reqs)
+        bucket = 1
+        while bucket < n and bucket < self.session.cfg.max_batch:
+            bucket <<= 1
+        pad_len = self._short_limit + 2 * 200
+
+        audio = np.zeros((bucket, pad_len), dtype=np.float32)
+        n_valid = np.zeros(bucket, dtype=np.int32)
+        for i, r in enumerate(reqs):
+            padded = golden.reflect_pad(r.audio)
+            audio[i, : len(padded)] = padded
+            n_valid[i] = golden.num_frames(len(r.audio))
+
+        tokens = self.session.transcribe_short_batch(
+            audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+            self._special.eot,
+            suppress_ids=self.gen_cfg.suppress_tokens,
+            begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+        )
+        self.stats["batches"] += 1
+        self.stats["batched_requests"] += n
+        for i, r in enumerate(reqs):
+            gen = strip_generated(tokens[i], self._special.eot)
+            if self.tokenizer is not None:
+                text = self.tokenizer.decode(gen, skip_special_tokens=True)
+            else:
+                text = f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]" if gen else ""
+            r.future.set_result(text.strip())

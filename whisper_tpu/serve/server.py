@@ -1,0 +1,157 @@
+"""JSON-lines TCP transcription server over the continuous-batching engine.
+
+Protocol (one JSON object per line, both directions):
+  request:  {"id": "r1", "pcm16_b64": "<base64 int16 @16 kHz mono>"}
+            or {"id": "r1", "path": "/abs/file.wav"}
+            optional: "sample_rate" (default 16000, resampled if different)
+  response: {"id": "r1", "text": "...", "latency_s": 0.12}
+            or {"id": "r1", "error": "..."}
+
+Run: python -m whisper_tpu.serve.server --model-dir DIR [--port 8765]
+     [--allow-random-init --model-id openai/whisper-base] [--variant x4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import sys
+import time
+
+import numpy as np
+
+from whisper_tpu.audio.resample import resample_linear
+from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+
+
+def _decode_audio(msg: dict) -> np.ndarray:
+    if "pcm16_b64" in msg:
+        pcm = np.frombuffer(base64.b64decode(msg["pcm16_b64"]), dtype="<i2")
+        audio = pcm.astype(np.float32) / 32768.0
+    elif "path" in msg:
+        from whisper_tpu.audio.io import load_audio_16k_mono
+
+        audio, _, _ = load_audio_16k_mono(msg["path"])
+        return audio
+    else:
+        raise ValueError("request needs 'pcm16_b64' or 'path'")
+    sr = int(msg.get("sample_rate", 16_000))
+    if sr != 16_000:
+        audio = resample_linear(audio, sr, 16_000)
+    return audio
+
+
+async def handle_client(engine: StreamingEngine, reader, writer) -> None:
+    loop = asyncio.get_running_loop()
+    try:
+        while True:
+            line = await reader.readline()
+            if not line:
+                break
+            msg = None
+            try:
+                msg = json.loads(line)
+                audio = _decode_audio(msg)
+                t0 = time.perf_counter()
+                fut = engine.submit(audio)
+                text = await _to_asyncio(fut, loop)
+                resp = {
+                    "id": msg.get("id"),
+                    "text": text,
+                    "latency_s": round(time.perf_counter() - t0, 4),
+                }
+            except Exception as e:  # per-request error isolation
+                resp = {"id": (msg.get("id") if isinstance(msg, dict) else None),
+                        "error": str(e)}
+            writer.write((json.dumps(resp) + "\n").encode())
+            await writer.drain()
+    finally:
+        writer.close()
+
+
+def _to_asyncio(fut, loop):
+    afut = loop.create_future()
+
+    def done(f):
+        try:
+            loop.call_soon_threadsafe(afut.set_result, f.result())
+        except Exception as e:
+            loop.call_soon_threadsafe(afut.set_exception, e)
+
+    fut.add_done_callback(done)
+    return afut
+
+
+async def serve(engine: StreamingEngine, host: str, port: int,
+                ready_event=None) -> None:
+    server = await asyncio.start_server(
+        lambda r, w: handle_client(engine, r, w), host, port
+    )
+    if ready_event is not None:
+        ready_event.set()
+    async with server:
+        await server.serve_forever()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", default="")
+    p.add_argument("--model-id", default="openai/whisper-base")
+    p.add_argument("--allow-random-init", action="store_true")
+    p.add_argument("--variant", default="x4",
+                   choices=["x0", "x1", "x2", "x3", "x4", "int8"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--language", default="en")
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    args = p.parse_args(argv)
+
+    import os
+
+    from whisper_tpu.models import convert
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.genconfig import load_generation_cfg
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.tokenizer.specials import resolve_tokenizer
+    from whisper_tpu.variants.ladder import apply_variant
+
+    if args.model_dir and os.path.isfile(
+        os.path.join(args.model_dir, convert.PARAMS_FILE)
+    ):
+        params, dims = convert.load_params(args.model_dir)
+    elif args.allow_random_init:
+        dims = get_dims(args.model_id)
+        params = convert.init_params(dims, seed=0)
+    else:
+        raise SystemExit("need --model-dir with params or --allow-random-init")
+
+    cfg, _ = apply_variant(RuntimeCfg(), args.variant)
+    session = WhisperSession(params, dims, cfg)
+    tok = resolve_tokenizer("", args.model_dir, args.model_id)
+    gen_cfg = load_generation_cfg(
+        os.path.join(args.model_dir, "generation_config.json")
+    ) if args.model_dir else None
+
+    engine = StreamingEngine(
+        session, tok[0] if tok else None,
+        EngineConfig(language=args.language, task=args.task,
+                     max_new_tokens=args.max_new_tokens),
+        gen_cfg,
+    )
+    print(f"Compiling serving program (max_batch={session.cfg.max_batch})...")
+    engine.warmup()
+    print(f"Serving on {args.host}:{args.port}")
+    try:
+        asyncio.run(serve(engine, args.host, args.port))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
