@@ -1,0 +1,87 @@
+"""Fused decoder-step kernels vs the reference jnp decoder_step
+(interpret mode on the CPU mesh; same kernels compile on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.models import whisper
+from whisper_tpu.models.convert import init_params
+from whisper_tpu.models.registry import get_dims
+from whisper_tpu.ops.decoder_kernels import (
+    build_step_weights,
+    decoder_step_fused,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=3)
+    rng = np.random.default_rng(0)
+    b = 4
+    enc = jnp.asarray(rng.normal(0, 1, (b, 96, dims.d_model)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, dims.vocab_size, (b, 3)), dtype=jnp.int32)
+    _, cache = whisper.decoder_prefill(params, dims, toks, enc, max_len=10)
+    sw = build_step_weights(params, dims)
+    return dims, params, sw, cache, b
+
+
+def test_single_step_parity(setup):
+    dims, params, sw, cache, b = setup
+    tok = jnp.asarray([5, 9, 1, 30], dtype=jnp.int32)
+    want_logits, want_cache = whisper.decoder_step(
+        params, dims, tok, jnp.int32(3), cache
+    )
+    got_logits, got_cache = decoder_step_fused(
+        params, sw, dims, tok, jnp.int32(3), cache, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), atol=2e-4, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cache.self_k), np.asarray(want_cache.self_k),
+        atol=2e-5, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cache.self_v), np.asarray(want_cache.self_v),
+        atol=2e-5, rtol=0,
+    )
+
+
+def test_multi_step_chain_parity(setup):
+    """Three chained fused steps must track the jnp implementation —
+    catches cache-aliasing bugs that a single step would hide."""
+    dims, params, sw, cache, b = setup
+    cache_a = cache
+    cache_b = cache
+    tok = jnp.asarray([2, 4, 6, 8], dtype=jnp.int32)
+    for i in range(3):
+        la, cache_a = whisper.decoder_step(
+            params, dims, tok, jnp.int32(3 + i), cache_a
+        )
+        lb, cache_b = decoder_step_fused(
+            params, sw, dims, tok, jnp.int32(3 + i), cache_b, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(la), atol=3e-4, rtol=0
+        )
+        tok = jnp.argmax(la, axis=-1).astype(jnp.int32)
+
+
+def test_int8_weights_dequantized_once(setup):
+    dims, params, _, cache, b = setup
+    from whisper_tpu.variants.quant import quantize_params
+
+    qparams = quantize_params(params)
+    sw = build_step_weights(qparams, dims)
+    assert sw["qkv_w"].dtype == params["decoder"]["tok_emb"].dtype
+    tok = jnp.asarray([1, 2, 3, 4], dtype=jnp.int32)
+    logits, _ = decoder_step_fused(
+        qparams, sw, dims, tok, jnp.int32(3), cache, interpret=True
+    )
+    want, _ = whisper.decoder_step(params, dims, tok, jnp.int32(3), cache)
+    # int8 quantization error only
+    assert np.abs(np.asarray(logits) - np.asarray(want)).max() < 0.5

@@ -96,14 +96,22 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.reshape(*lead, s, h * dh)
 
 
-def _attend(q, k, v, mask, precision):
+def _attend(q, k, v, mask, precision, fused: bool = False):
     """q [B,H,Sq,Dh], k/v [B,H,Sk,Dh], mask broadcastable to [B,H,Sq,Sk].
 
     q is pre-scaled by Dh^-0.5 before the matmul (HF order, which the
     reference's exported ONNX graphs inherit) so fp32 rounding matches.
+
+    With fused=True (and no mask), the VMEM-resident Pallas attention
+    kernel is used — scores never touch HBM (ops.attention).
     """
     dh = q.shape[-1]
     q = q * jnp.asarray(dh, q.dtype) ** -0.5
+    if fused and mask is None:
+        from whisper_tpu.ops.attention import fused_attention
+
+        return fused_attention(q, k, v,
+                               interpret=jax.default_backend() != "tpu")
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision,
                         preferred_element_type=jnp.float32)
     if mask is not None:
@@ -135,6 +143,7 @@ def encoder_apply(
     mel: jax.Array,
     *,
     precision=None,
+    fused_attention: bool = False,
 ) -> jax.Array:
     """Encoder forward: mel [B, n_mels, T] -> hidden states [B, T//2, d].
 
@@ -161,7 +170,7 @@ def encoder_apply(
         k = _dense(r, p["k_w"], None, precision)
         v = _dense(r, p["v_w"], p["v_b"], precision)
         o = _attend(_split_heads(q, h), _split_heads(k, h), _split_heads(v, h),
-                    None, precision)
+                    None, precision, fused=fused_attention)
         x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
 
         r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])

@@ -1,0 +1,339 @@
+"""Fused decoder-step kernels — the hot path of generation.
+
+A single decoder step at whisper-base shapes ([B,512] activations) spends
+more time on per-op sequencing than on math: the unfused step issues ~25
+XLA ops per layer.  These kernels collapse each layer into three Pallas
+calls, keeping every intermediate in VMEM:
+
+- ``self_attn_block``: LN -> fused QKV matmul -> KV-cache update (in place
+  via input/output aliasing) -> masked attention over the static cache ->
+  output projection -> residual.
+- ``cross_attn_block``: LN -> Q projection, then flash-style streaming over
+  the [B,H,T_enc,Dh] encoder K/V in key blocks (grid-sequential online
+  softmax in VMEM scratch — cross K/V is ~25 MB/layer at batch 16, far over
+  VMEM, and streaming it is the decode loop's memory floor) -> output
+  projection -> residual.
+- ``mlp_block``: LN -> fc1 -> GELU -> fc2 -> residual.
+
+``decoder_step_fused`` composes them over unrolled layers; it is numerically
+equivalent to models.whisper.decoder_step (tested in interpret mode) and
+replaces it for the x3+ variants on TPU.
+
+Weights arrive pre-fused per layer (QKV concatenated) via
+:func:`build_step_weights`, computed once per session.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from whisper_tpu.models.registry import WhisperDims
+from whisper_tpu.models.whisper import KVCache, LN_EPS, _logits
+
+NEG_INF = -1e30  # python float: jnp constants would be captured by kernels
+CROSS_BLOCK = 512  # encoder keys per grid step
+
+
+def _ln(x, s, b):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * s.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Self-attention block (cache update in place)
+# ---------------------------------------------------------------------------
+
+def _self_kernel(pos_ref, x_ref, ln_ref, qkvw_ref, qkvb_ref, ow_ref, ob_ref,
+                 ck_in_ref, cv_in_ref,
+                 out_ref, ck_ref, cv_ref, ctx_scr, *, heads: int):
+    del ck_in_ref, cv_in_ref  # aliased with ck_ref / cv_ref
+    b, d = x_ref.shape
+    dh = d // heads
+    pos = pos_ref[0, 0]
+
+    x = x_ref[:]
+    r = _ln(x, ln_ref[0], ln_ref[1])
+    qkv = jnp.dot(r, qkvw_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + qkvb_ref[0].astype(jnp.float32)
+    scale = jnp.asarray(dh, jnp.float32) ** -0.5
+
+    # Mosaic rejects lane-splitting reshapes ([B,d] -> [B,H,1,Dh]), so the
+    # head dimension is a static python loop over lane-contiguous slices —
+    # all iterations fuse into the single kernel anyway.
+    for hd in range(heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        q_h = qkv[:, sl] * scale                          # [B, Dh] fp32
+        k_h = qkv[:, d + hd * dh : d + (hd + 1) * dh].astype(x.dtype)
+        v_h = qkv[:, 2 * d + hd * dh : 2 * d + (hd + 1) * dh].astype(x.dtype)
+        ck_ref[:, hd, pos, :] = k_h
+        cv_ref[:, hd, pos, :] = v_h
+
+        keys = ck_ref[:, hd].astype(jnp.float32)          # [B, S, Dh]
+        scores = jnp.sum(q_h[:, None, :] * keys, axis=-1)  # [B, S]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col <= pos, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        vals = cv_ref[:, hd].astype(jnp.float32)          # [B, S, Dh]
+        ctx_scr[:, sl] = jnp.sum(probs[:, :, None] * vals, axis=1)
+
+    ctx = ctx_scr[:].astype(x.dtype)
+    out = jnp.dot(ctx, ow_ref[:], preferred_element_type=jnp.float32)
+    out = out + ob_ref[0].astype(jnp.float32) + x.astype(jnp.float32)
+    out_ref[:] = out.astype(x.dtype)
+
+
+def self_attn_block(x, ln, qkv_w, qkv_b, o_w, o_b, cache_k, cache_v, pos,
+                    heads: int, interpret: bool = False):
+    """x [B,d]; cache_k/v [B,H,S,Dh] updated in place at `pos`."""
+    b, d = x.shape
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    out, ck, cv = pl.pallas_call(
+        functools.partial(_self_kernel, heads=heads),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln [2,d]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b [1,3d]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # o_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # o_b [1,d]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cache_k
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cache_v
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        input_output_aliases={7: 1, 8: 2},  # cache buffers updated in place
+        scratch_shapes=[pltpu.VMEM((b, d), jnp.float32)],
+        interpret=interpret,
+    )(pos_arr, x, ln, qkv_w, qkv_b, o_w, o_b, cache_k, cache_v)
+    return out, ck, cv
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention block (streamed over encoder keys)
+# ---------------------------------------------------------------------------
+
+def _cross_kernel(x_ref, ln_ref, qw_ref, qb_ref, ow_ref, ob_ref,
+                  k_ref, v_ref, out_ref,
+                  q_scr, m_scr, l_scr, acc_scr, *, heads: int, t_valid: int):
+    b, d = x_ref.shape
+    dh = d // heads
+    j = pl.program_id(0)
+    nblk = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        r = _ln(x_ref[:], ln_ref[0], ln_ref[1])
+        q = jnp.dot(r, qw_ref[:], preferred_element_type=jnp.float32)
+        q = q + qb_ref[0].astype(jnp.float32)
+        scale = jnp.asarray(dh, jnp.float32) ** -0.5
+        q_scr[:] = q * scale
+        m_scr[:] = jnp.full_like(m_scr[:], NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    # Per-head online softmax (head dim as a static loop; see _self_kernel).
+    bk = k_ref.shape[2]
+    for hd in range(heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        q_h = q_scr[:, sl]                               # [B, Dh] fp32
+        keys = k_ref[:, hd].astype(jnp.float32)          # [B, BK, Dh]
+        scores = jnp.sum(q_h[:, None, :] * keys, axis=-1)  # [B, BK]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * bk
+        scores = jnp.where(col < t_valid, scores, NEG_INF)
+
+        m_prev = m_scr[:, hd]                            # [B]
+        l_prev = l_scr[:, hd]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[:, None])             # [B, BK]
+        l_scr[:, hd] = l_prev * alpha + jnp.sum(p, axis=-1)
+        vals = v_ref[:, hd].astype(jnp.float32)          # [B, BK, Dh]
+        pv = jnp.sum(p[:, :, None] * vals, axis=1)       # [B, Dh]
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + pv
+        m_scr[:, hd] = m_new
+
+    @pl.when(j == nblk - 1)
+    def _():
+        # Normalization: expand each head's l across its Dh lanes.
+        l_full = jnp.concatenate(
+            [jnp.broadcast_to(l_scr[:, hd][:, None], (b, dh))
+             for hd in range(heads)], axis=1,
+        )
+        ctx = (acc_scr[:] / l_full).astype(x_ref.dtype)
+        out = jnp.dot(ctx, ow_ref[:], preferred_element_type=jnp.float32)
+        out = out + ob_ref[0].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
+        out_ref[:] = out.astype(x_ref.dtype)
+
+
+def cross_attn_block(x, ln, q_w, q_b, o_w, o_b, cross_k, cross_v,
+                     heads: int, interpret: bool = False):
+    """x [B,d]; cross_k/v [B,H,T,Dh] streamed in key blocks."""
+    b, d = x.shape
+    dh = d // heads
+    t = cross_k.shape[2]
+    bk = min(CROSS_BLOCK, t)
+    t_pad = ((t + bk - 1) // bk) * bk
+    if t_pad != t:
+        pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        cross_k = jnp.pad(cross_k, pad)
+        cross_v = jnp.pad(cross_v, pad)
+    nblk = t_pad // bk
+
+    full = lambda: pl.BlockSpec(lambda j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, heads=heads, t_valid=t),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(x.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ln.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(q_w.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(q_b.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(o_w.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(o_b.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, bk, dh), lambda j: (0, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, bk, dh), lambda j: (0, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(x.shape, lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),      # q
+            pltpu.VMEM((b, heads), jnp.float32),  # running max per head
+            pltpu.VMEM((b, heads), jnp.float32),  # running sum per head
+            pltpu.VMEM((b, d), jnp.float32),      # accumulator (head slices)
+        ],
+        interpret=interpret,
+    )(x, ln, q_w, q_b, o_w, o_b, cross_k, cross_v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MLP block
+# ---------------------------------------------------------------------------
+
+def _mlp_kernel(x_ref, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    x = x_ref[:]
+    r = _ln(x, ln_ref[0], ln_ref[1])
+    h = jnp.dot(r, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32), approximate=False)
+    h = h.astype(x.dtype)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (out + b2_ref[0].astype(jnp.float32)
+                  + x.astype(jnp.float32)).astype(x.dtype)
+
+
+def mlp_block(x, ln, w1, b1, w2, b2, interpret: bool = False):
+    return pl.pallas_call(
+        _mlp_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ln, w1, b1, w2, b2)
+
+
+# ---------------------------------------------------------------------------
+# Fused step orchestration
+# ---------------------------------------------------------------------------
+
+def build_step_weights(params: Dict, dims: WhisperDims) -> Dict[str, Any]:
+    """Pre-fuse decoder weights for the step kernels (QKV concat, biases as
+    [1, n] rows, LN pairs stacked). Int8 QTensor weights are dequantized
+    once here — the decode loop then streams bf16.  Computed once per
+    session."""
+    from whisper_tpu.variants.quant import QTensor, dequantize
+
+    blocks = params["decoder"]["blocks"]
+
+    def w(name):
+        x = blocks[name]
+        if isinstance(x, QTensor):
+            return dequantize(x, params["decoder"]["tok_emb"].dtype)
+        return x
+
+    l = dims.decoder_layers
+    d = dims.d_model
+    zeros_kb = jnp.zeros((l, d), w("q_b").dtype)
+    return {
+        "qkv_w": jnp.concatenate([w("q_w"), w("k_w"), w("v_w")], axis=-1),
+        "qkv_b": jnp.concatenate([blocks["q_b"], zeros_kb, blocks["v_b"]],
+                                 axis=-1)[:, None, :],
+        "o_w": w("o_w"), "o_b": blocks["o_b"][:, None, :],
+        "ln1": jnp.stack([blocks["ln_s"], blocks["ln_b"]], axis=1),
+        "xq_w": w("xq_w"), "xq_b": blocks["xq_b"][:, None, :],
+        "xo_w": w("xo_w"), "xo_b": blocks["xo_b"][:, None, :],
+        "ln2": jnp.stack([blocks["x_ln_s"], blocks["x_ln_b"]], axis=1),
+        "fc1_w": w("fc1_w"), "fc1_b": blocks["fc1_b"][:, None, :],
+        "fc2_w": w("fc2_w"), "fc2_b": blocks["fc2_b"][:, None, :],
+        "ln3": jnp.stack([blocks["mlp_ln_s"], blocks["mlp_ln_b"]], axis=1),
+    }
+
+
+def decoder_step_fused(
+    params: Dict,
+    step_weights: Dict[str, Any],
+    dims: WhisperDims,
+    token: jax.Array,     # [B] int32
+    pos: jax.Array,       # scalar
+    cache: KVCache,
+    *,
+    interpret: bool = False,
+    precision=None,
+) -> tuple[jax.Array, KVCache]:
+    """Drop-in fused replacement for models.whisper.decoder_step."""
+    from whisper_tpu.models.whisper import _layer_norm
+
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    h = dims.decoder_heads
+    x = dec["tok_emb"][token] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_embed"], pos, 1, axis=0
+    ).astype(dtype)[0][None, :]
+
+    sw = step_weights
+    new_sk, new_sv = [], []
+    for i in range(dims.decoder_layers):
+        x, ck, cv = self_attn_block(
+            x, sw["ln1"][i], sw["qkv_w"][i], sw["qkv_b"][i],
+            sw["o_w"][i], sw["o_b"][i],
+            cache.self_k[i], cache.self_v[i], pos, h, interpret=interpret,
+        )
+        new_sk.append(ck)
+        new_sv.append(cv)
+        x = cross_attn_block(
+            x, sw["ln2"][i], sw["xq_w"][i], sw["xq_b"][i],
+            sw["xo_w"][i], sw["xo_b"][i],
+            cache.cross_k[i], cache.cross_v[i], h, interpret=interpret,
+        )
+        x = mlp_block(
+            x, sw["ln3"][i], sw["fc1_w"][i], sw["fc1_b"][i],
+            sw["fc2_w"][i], sw["fc2_b"][i], interpret=interpret,
+        )
+
+    x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
+    logits = _logits(params, x[:, None, :], precision)[:, 0, :]
+    cache = cache._replace(
+        self_k=jnp.stack(new_sk), self_v=jnp.stack(new_sv)
+    )
+    return logits, cache

@@ -62,6 +62,7 @@ class RuntimeCfg:
     max_batch: int = 16
     donate_cache: bool = True
     fused_frontend: bool = False  # Pallas fused log-mel kernel (variant x3+)
+    fused_attention: bool = False  # VMEM-resident encoder attention (x3+)
     int8_weights: bool = False    # per-channel int8 matmul weights (x4/int8)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -198,9 +199,12 @@ class WhisperSession:
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
 
+            fused_attn = self.cfg.fused_attention
+
             def run(params, mel, prompt, suppress, first_suppress):
                 enc = whisper.encoder_apply(params, dims, mel,
-                                            precision=precision)
+                                            precision=precision,
+                                            fused_attention=fused_attn)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
@@ -264,6 +268,7 @@ class WhisperSession:
                num_beams, length_penalty, ts_cfg)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
+            fused_attn = self.cfg.fused_attention
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
             def run(params, mel, starts, prompt, suppress, first_suppress):
@@ -274,7 +279,8 @@ class WhisperSession:
                     )
                 )(starts)
                 enc = whisper.encoder_apply(params, dims, chunks,
-                                            precision=precision)
+                                            precision=precision,
+                                            fused_attention=fused_attn)
                 if num_beams > 1:
                     from whisper_tpu.runtime.beam import beam_generate
 
@@ -344,6 +350,7 @@ class WhisperSession:
         key = ("short", audio_len, batch, prompt_len, max_new, eot_id, ts_cfg)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
+            fused_attn = self.cfg.fused_attention
             from whisper_tpu.frontend.mel import log_mel_jax
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
@@ -354,7 +361,8 @@ class WhisperSession:
                     )
                 )(audio, n_valid)                    # [B, n_mels, 3000]
                 enc = whisper.encoder_apply(params, dims, mel,
-                                            precision=precision)
+                                            precision=precision,
+                                            fused_attention=fused_attn)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,

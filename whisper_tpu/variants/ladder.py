@@ -36,6 +36,7 @@ class VariantSpec:
     dtype: str
     matmul_precision: str
     fused_frontend: bool = False
+    fused_attention: bool = False
     int8_weights: bool = False
     audio_transfer: str = "int16"
 
@@ -46,11 +47,12 @@ LADDER: Dict[str, VariantSpec] = {
     "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
                       "float32", "high", audio_transfer="float32"),
     "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
-    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel front end",
-                      "bfloat16", "default", fused_frontend=True),
-    "x4": VariantSpec("x4", "bf16 + int8 per-channel weight matmuls",
+    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention",
                       "bfloat16", "default", fused_frontend=True,
-                      int8_weights=True),
+                      fused_attention=True),
+    "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weight matmuls",
+                      "bfloat16", "default", fused_frontend=True,
+                      fused_attention=True, int8_weights=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -69,6 +71,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             dtype=spec.dtype,
             matmul_precision=spec.matmul_precision,
             fused_frontend=spec.fused_frontend,
+            fused_attention=spec.fused_attention,
             int8_weights=spec.int8_weights,
             audio_transfer=spec.audio_transfer,
         ),
