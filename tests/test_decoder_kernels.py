@@ -12,8 +12,25 @@ from whisper_tpu.models.convert import init_params
 from whisper_tpu.models.registry import get_dims
 from whisper_tpu.ops.decoder_kernels import (
     build_step_weights,
+    cache_to_time_major,
     decoder_step_fused,
 )
+
+
+def _fused(params, sw, dims, tok, pos, cache):
+    """Adapter: KVCache -> time-major fused step -> logits + new tm caches."""
+    tm_k = cache_to_time_major(cache.self_k)
+    tm_v = cache_to_time_major(cache.self_v)
+    logits, tm_k, tm_v = decoder_step_fused(
+        params, sw, dims, tok, pos, tm_k, tm_v,
+        cache.cross_k, cache.cross_v, interpret=True,
+    )
+    from whisper_tpu.ops.decoder_kernels import cache_from_time_major
+
+    return logits, cache._replace(
+        self_k=cache_from_time_major(tm_k, dims.decoder_heads),
+        self_v=cache_from_time_major(tm_v, dims.decoder_heads),
+    )
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +52,7 @@ def test_single_step_parity(setup):
     want_logits, want_cache = whisper.decoder_step(
         params, dims, tok, jnp.int32(3), cache
     )
-    got_logits, got_cache = decoder_step_fused(
-        params, sw, dims, tok, jnp.int32(3), cache, interpret=True
-    )
+    got_logits, got_cache = _fused(params, sw, dims, tok, jnp.int32(3), cache)
     np.testing.assert_allclose(
         np.asarray(got_logits), np.asarray(want_logits), atol=2e-4, rtol=0
     )
@@ -62,9 +77,7 @@ def test_multi_step_chain_parity(setup):
         la, cache_a = whisper.decoder_step(
             params, dims, tok, jnp.int32(3 + i), cache_a
         )
-        lb, cache_b = decoder_step_fused(
-            params, sw, dims, tok, jnp.int32(3 + i), cache_b, interpret=True
-        )
+        lb, cache_b = _fused(params, sw, dims, tok, jnp.int32(3 + i), cache_b)
         np.testing.assert_allclose(
             np.asarray(lb), np.asarray(la), atol=3e-4, rtol=0
         )
@@ -79,9 +92,7 @@ def test_int8_weights_dequantized_once(setup):
     sw = build_step_weights(qparams, dims)
     assert sw["qkv_w"].dtype == params["decoder"]["tok_emb"].dtype
     tok = jnp.asarray([1, 2, 3, 4], dtype=jnp.int32)
-    logits, _ = decoder_step_fused(
-        qparams, sw, dims, tok, jnp.int32(3), cache, interpret=True
-    )
+    logits, _ = _fused(qparams, sw, dims, tok, jnp.int32(3), cache)
     want, _ = whisper.decoder_step(params, dims, tok, jnp.int32(3), cache)
     # int8 quantization error only
     assert np.abs(np.asarray(logits) - np.asarray(want)).max() < 0.5

@@ -16,8 +16,17 @@ calls, keeping every intermediate in VMEM:
 - ``mlp_block``: LN -> fc1 -> GELU -> fc2 -> residual.
 
 ``decoder_step_fused`` composes them over unrolled layers; it is numerically
-equivalent to models.whisper.decoder_step (tested in interpret mode) and
-replaces it for the x3+ variants on TPU.
+equivalent to models.whisper.decoder_step (tested in interpret mode).
+
+STATUS — EXPERIMENTAL, NOT ENABLED IN THE VARIANT LADDER: measured on a
+real v5e at whisper-base/batch-16 the fused step is ~4x SLOWER than the
+XLA step (5.0 vs 1.25 ms).  Root cause: Mosaic rejects the lane-splitting
+reshapes a [B*H, ...] attention layout needs, so these kernels scalarize
+the head dimension into per-head VPU loops where batch=16 occupies 16 of
+128 lanes — ~12% vector utilization — while XLA's unfused attention already
+runs near the cross-KV memory floor (~0.45 ms/step).  Kept in-tree with
+full parity tests as the starting point for a layout-aware rewrite
+(head-packed lanes / int8 cross-KV streaming).
 
 Weights arrive pre-fused per layer (QKV concatenated) via
 :func:`build_step_weights`, computed once per session.
@@ -38,7 +47,10 @@ from whisper_tpu.models.registry import WhisperDims
 from whisper_tpu.models.whisper import KVCache, LN_EPS, _logits
 
 NEG_INF = -1e30  # python float: jnp constants would be captured by kernels
-CROSS_BLOCK = 512  # encoder keys per grid step
+# Encoder keys per grid step: K+V blocks are double-buffered in VMEM, so at
+# batch 16 x 8 heads a 128-key block costs 4 x 2.1 MB — safely under the
+# 16 MB VMEM budget together with the projection weights.
+CROSS_BLOCK = 64
 
 
 def _ln(x, s, b):
@@ -56,6 +68,12 @@ def _ln(x, s, b):
 def _self_kernel(pos_ref, x_ref, ln_ref, qkvw_ref, qkvb_ref, ow_ref, ob_ref,
                  ck_in_ref, cv_in_ref,
                  out_ref, ck_ref, cv_ref, ctx_scr, *, heads: int):
+    """Self-attention cache layout is TIME-MAJOR: [S, B, d] per layer.
+
+    Mosaic cannot lower bf16 stores into the tiled interior of a 4D buffer
+    ([B,H,pos,:]), but a 2D [B, d] store at a leading index (ck_ref[pos])
+    is the standard supported case — and it writes all heads at once.
+    """
     del ck_in_ref, cv_in_ref  # aliased with ck_ref / cv_ref
     b, d = x_ref.shape
     dh = d // heads
@@ -67,24 +85,25 @@ def _self_kernel(pos_ref, x_ref, ln_ref, qkvw_ref, qkvb_ref, ow_ref, ob_ref,
     qkv = qkv + qkvb_ref[0].astype(jnp.float32)
     scale = jnp.asarray(dh, jnp.float32) ** -0.5
 
-    # Mosaic rejects lane-splitting reshapes ([B,d] -> [B,H,1,Dh]), so the
-    # head dimension is a static python loop over lane-contiguous slices —
-    # all iterations fuse into the single kernel anyway.
+    ck_ref[pos] = qkv[:, d:2 * d].astype(x.dtype)         # all heads at once
+    cv_ref[pos] = qkv[:, 2 * d:].astype(x.dtype)
+
+    # Head dim as a static loop over lane-contiguous slices (Mosaic rejects
+    # lane-splitting reshapes); everything fuses into this one kernel.
+    s_rows = None
     for hd in range(heads):
         sl = slice(hd * dh, (hd + 1) * dh)
         q_h = qkv[:, sl] * scale                          # [B, Dh] fp32
-        k_h = qkv[:, d + hd * dh : d + (hd + 1) * dh].astype(x.dtype)
-        v_h = qkv[:, 2 * d + hd * dh : 2 * d + (hd + 1) * dh].astype(x.dtype)
-        ck_ref[:, hd, pos, :] = k_h
-        cv_ref[:, hd, pos, :] = v_h
-
-        keys = ck_ref[:, hd].astype(jnp.float32)          # [B, S, Dh]
-        scores = jnp.sum(q_h[:, None, :] * keys, axis=-1)  # [B, S]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col <= pos, scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        vals = cv_ref[:, hd].astype(jnp.float32)          # [B, S, Dh]
-        ctx_scr[:, sl] = jnp.sum(probs[:, :, None] * vals, axis=1)
+        keys = ck_ref[:, :, sl].astype(jnp.float32)       # [S, B, Dh]
+        scores = jnp.sum(q_h[None, :, :] * keys, axis=-1)  # [S, B]
+        if s_rows is None:
+            s_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(s_rows <= pos, scores, NEG_INF)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)         # softmax over S
+        vals = cv_ref[:, :, sl].astype(jnp.float32)       # [S, B, Dh]
+        ctx_scr[:, sl] = jnp.sum(p[:, :, None] * vals, axis=0)
 
     ctx = ctx_scr[:].astype(x.dtype)
     out = jnp.dot(ctx, ow_ref[:], preferred_element_type=jnp.float32)
@@ -94,7 +113,7 @@ def _self_kernel(pos_ref, x_ref, ln_ref, qkvw_ref, qkvb_ref, ow_ref, ob_ref,
 
 def self_attn_block(x, ln, qkv_w, qkv_b, o_w, o_b, cache_k, cache_v, pos,
                     heads: int, interpret: bool = False):
-    """x [B,d]; cache_k/v [B,H,S,Dh] updated in place at `pos`."""
+    """x [B,d]; cache_k/v TIME-MAJOR [S, B, d], updated in place at `pos`."""
     b, d = x.shape
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
     out, ck, cv = pl.pallas_call(
@@ -236,7 +255,10 @@ def _mlp_kernel(x_ref, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     x = x_ref[:]
     r = _ln(x, ln_ref[0], ln_ref[1])
     h = jnp.dot(r, w1_ref[:], preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32), approximate=False)
+    # Mosaic has no erf/erfc lowering; tanh-GELU differs from exact GELU by
+    # ~1e-3 relative — below bf16 resolution, and the fused path only runs
+    # for bf16 variants (parity rungs use the unfused exact-GELU decoder).
+    h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32), approximate=True)
     h = h.astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = (out + b2_ref[0].astype(jnp.float32)
@@ -290,18 +312,33 @@ def build_step_weights(params: Dict, dims: WhisperDims) -> Dict[str, Any]:
     }
 
 
+def cache_to_time_major(self_k: jax.Array) -> jax.Array:
+    """[L, B, H, S, Dh] -> [L, S, B, H*Dh] (once per generate call)."""
+    l, b, h, s, dh = self_k.shape
+    return self_k.transpose(0, 3, 1, 2, 4).reshape(l, s, b, h * dh)
+
+
+def cache_from_time_major(tm: jax.Array, heads: int) -> jax.Array:
+    """[L, S, B, H*Dh] -> [L, B, H, S, Dh]."""
+    l, s, b, d = tm.shape
+    return tm.reshape(l, s, b, heads, d // heads).transpose(0, 2, 3, 1, 4)
+
+
 def decoder_step_fused(
     params: Dict,
     step_weights: Dict[str, Any],
     dims: WhisperDims,
-    token: jax.Array,     # [B] int32
-    pos: jax.Array,       # scalar
-    cache: KVCache,
+    token: jax.Array,      # [B] int32
+    pos: jax.Array,        # scalar
+    self_k_tm: jax.Array,  # [L, S, B, d] time-major self cache
+    self_v_tm: jax.Array,
+    cross_k: jax.Array,    # [L, B, H, T, Dh]
+    cross_v: jax.Array,
     *,
     interpret: bool = False,
     precision=None,
-) -> tuple[jax.Array, KVCache]:
-    """Drop-in fused replacement for models.whisper.decoder_step."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused decoder step; returns (logits, self_k_tm, self_v_tm)."""
     from whisper_tpu.models.whisper import _layer_norm
 
     dec = params["decoder"]
@@ -317,14 +354,14 @@ def decoder_step_fused(
         x, ck, cv = self_attn_block(
             x, sw["ln1"][i], sw["qkv_w"][i], sw["qkv_b"][i],
             sw["o_w"][i], sw["o_b"][i],
-            cache.self_k[i], cache.self_v[i], pos, h, interpret=interpret,
+            self_k_tm[i], self_v_tm[i], pos, h, interpret=interpret,
         )
         new_sk.append(ck)
         new_sv.append(cv)
         x = cross_attn_block(
             x, sw["ln2"][i], sw["xq_w"][i], sw["xq_b"][i],
             sw["xo_w"][i], sw["xo_b"][i],
-            cache.cross_k[i], cache.cross_v[i], h, interpret=interpret,
+            cross_k[i], cross_v[i], h, interpret=interpret,
         )
         x = mlp_block(
             x, sw["ln3"][i], sw["fc1_w"][i], sw["fc1_b"][i],
@@ -333,7 +370,4 @@ def decoder_step_fused(
 
     x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
     logits = _logits(params, x[:, None, :], precision)[:, 0, :]
-    cache = cache._replace(
-        self_k=jnp.stack(new_sk), self_v=jnp.stack(new_sv)
-    )
-    return logits, cache
+    return logits, jnp.stack(new_sk), jnp.stack(new_sv)
