@@ -114,3 +114,63 @@ class TestSessionInt8:
         toks = sess.transcribe_chunks(mel, prompt=[3, 4], max_new_tokens=4,
                                       eot_id=2)
         assert toks.shape == (2, 4)
+
+
+class TestInt8CrossKV:
+    def test_prefill_logits_close_and_step_runs(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.models import whisper
+        from whisper_tpu.runtime.generate import build_suppress_mask, greedy_generate
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=5)
+        rng = np.random.default_rng(2)
+        mel = rng.normal(0, 1, (2, dims.n_mels, 200)).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        toks = jnp.asarray([[3, 7], [5, 9]], dtype=jnp.int32)
+
+        lg_bf, cache_bf = whisper.decoder_prefill(params, dims, toks, enc, 12)
+        lg_i8, cache_i8 = whisper.decoder_prefill(
+            params, dims, toks, enc, 12, int8_cross_kv=True
+        )
+        assert cache_i8.cross_k.dtype == jnp.int8
+        assert cache_i8.cross_k_scale is not None
+        # int8 cross-KV error only (logits scale ~ O(1) on the nano model)
+        assert np.abs(np.asarray(lg_i8) - np.asarray(lg_bf)).max() < 0.1
+
+        zero = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        out = greedy_generate(
+            params, dims, enc, jnp.asarray([3], dtype=jnp.int32),
+            zero, zero, max_new_tokens=4, eot_id=2, int8_cross_kv=True,
+        )
+        assert out.shape == (2, 4)
+
+    def test_x4_variant_enables_kv_cache_flag(self):
+        from whisper_tpu.runtime.session import RuntimeCfg
+        from whisper_tpu.variants.ladder import apply_variant
+
+        cfg, spec = apply_variant(RuntimeCfg(), "x4")
+        assert cfg.int8_kv_cache is True
+        cfg2, _ = apply_variant(RuntimeCfg(), "x2")
+        assert cfg2.int8_kv_cache is False
+
+    def test_beam_with_int8_kv(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.models import whisper
+        from whisper_tpu.runtime.beam import beam_generate
+        from whisper_tpu.runtime.generate import build_suppress_mask
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=6)
+        rng = np.random.default_rng(3)
+        mel = rng.normal(0, 1, (1, dims.n_mels, 200)).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        zero = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        toks, scores = beam_generate(
+            params, dims, enc, jnp.asarray([3], dtype=jnp.int32),
+            zero, zero, max_new_tokens=4, eot_id=2, num_beams=2,
+            int8_cross_kv=True,
+        )
+        assert toks.shape == (1, 4)

@@ -47,12 +47,18 @@ class KVCache(NamedTuple):
         present.* -> past_key_values.* renaming, src/main.rs:737-751).
     cross_k/cross_v: [L, B, H, T_enc, Dh] — computed once at prefill and
         reused (the reference reuses encoder K/V the same way).
+    cross_k_scale/cross_v_scale: per-(layer, batch, head) fp32 scales when
+        the cross cache is stored int8 (int8_cross_kv): streaming the cross
+        KV is the decode loop's memory floor, and int8 halves it; the
+        dequantize fuses into the attention dots (scale applied after).
     """
 
     self_k: jax.Array
     self_v: jax.Array
     cross_k: jax.Array
     cross_v: jax.Array
+    cross_k_scale: Optional[jax.Array] = None
+    cross_v_scale: Optional[jax.Array] = None
 
 
 def sinusoid_position_embedding(length: int, channels: int) -> np.ndarray:
@@ -216,7 +222,7 @@ def _decoder_blocks(
     s = x.shape[1]
 
     def block(x, layer):
-        p, sk, sv, ck, cv = layer
+        p, sk, sv, ck, cv, cks, cvs = layer
         # --- causal self-attention against the static cache ---
         r = _layer_norm(x, p["ln_s"], p["ln_b"])
         q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
@@ -230,7 +236,10 @@ def _decoder_blocks(
         # --- cross-attention (KV precomputed at prefill) ---
         r = _layer_norm(x, p["x_ln_s"], p["x_ln_b"])
         q = _split_heads(_dense(r, p["xq_w"], p["xq_b"], precision), h)
-        o = _attend(q, ck, cv, None, precision)
+        if cks is not None:
+            o = _attend_int8(q, ck, cv, cks, cvs, precision)
+        else:
+            o = _attend(q, ck, cv, None, precision)
         x = x + _dense(_merge_heads(o), p["xo_w"], p["xo_b"], precision)
 
         # --- MLP ---
@@ -240,10 +249,46 @@ def _decoder_blocks(
         x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
         return x, (sk, sv)
 
-    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
+          cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
     x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
     x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
     return x, cache._replace(self_k=new_sk, self_v=new_sv)
+
+
+def _attend_int8(q, k8, v8, k_scale, v_scale, precision):
+    """Cross attention against int8-stored K/V with per-head scales.
+
+    The int8->bf16 convert fuses into the dot's operand read (halving the
+    HBM traffic of the decode loop's dominant stream); the scale is applied
+    AFTER the dot, so the math matches dequant-then-attend up to fp
+    rounding.  k_scale/v_scale: [B, H, 1, 1] fp32.
+    """
+    dh = q.shape[-1]
+    q = q * jnp.asarray(dh, q.dtype) ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k8.astype(q.dtype),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v8.astype(q.dtype),
+                     precision=precision,
+                     preferred_element_type=jnp.float32)
+    return (ctx * v_scale).astype(q.dtype)
+
+
+def quantize_cross_kv(cache: KVCache) -> KVCache:
+    """Quantize the cross K/V to symmetric int8 with per-(L,B,H) scales."""
+    def quant(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(3, 4),
+                         keepdims=True)
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return q.astype(jnp.int8), scale
+    k8, ks = quant(cache.cross_k)
+    v8, vs = quant(cache.cross_v)
+    return cache._replace(cross_k=k8, cross_v=v8,
+                          cross_k_scale=ks, cross_v_scale=vs)
 
 
 def _logits(params, x, precision):
@@ -261,9 +306,14 @@ def decoder_prefill(
     max_len: int,
     *,
     precision=None,
+    int8_cross_kv: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Full-prompt decoder pass; returns logits [B, P, V] and a cache whose
-    self-KV holds positions [0, P) and whose cross-KV is final."""
+    self-KV holds positions [0, P) and whose cross-KV is final.
+
+    int8_cross_kv stores the cross K/V int8 with per-head scales (the
+    prefill itself attends through the same int8 path so prefill and steps
+    see identical cross values)."""
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
     b, p = tokens.shape
@@ -282,6 +332,8 @@ def decoder_prefill(
 
     cache = init_cache(dims, b, max_len, enc_states.shape[1], dtype)
     cache = cache._replace(cross_k=ck, cross_v=cv)
+    if int8_cross_kv:
+        cache = quantize_cross_kv(cache)
 
     x = dec["tok_emb"][tokens] + dec["pos_embed"][:p].astype(dtype)
 

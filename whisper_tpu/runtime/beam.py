@@ -49,6 +49,7 @@ def beam_generate(
     length_penalty: float = 1.0,
     *,
     ts_cfg=None,
+    int8_cross_kv: bool = False,
     precision=None,
 ):
     """Returns (tokens [B, max_new_tokens] of the best beam, scores [B]).
@@ -65,7 +66,8 @@ def beam_generate(
 
     tokens_p = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
     logits, cache = whisper.decoder_prefill(
-        params, dims, tokens_p, enc_states, max_len, precision=precision
+        params, dims, tokens_p, enc_states, max_len, precision=precision,
+        int8_cross_kv=int8_cross_kv,
     )
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     if ts_cfg is not None:
@@ -77,9 +79,9 @@ def beam_generate(
     first = first.astype(jnp.int32)
 
     # Tile cache per beam: [L, B, H, S, Dh] -> [L, B*K, H, S, Dh]
+    # (scale fields [L, B, H, 1, 1] tile the same way; None passes through)
     def tile(x):
-        l, _, h, s, dh = x.shape
-        return jnp.repeat(x, k, axis=1)
+        return None if x is None else jnp.repeat(x, k, axis=1)
 
     cache = whisper.KVCache(*(tile(x) for x in cache))
 
@@ -130,7 +132,8 @@ def beam_generate(
         lengths = jnp.where(prev_done, lengths, lengths + 1)
         done = jnp.logical_or(prev_done, tok == eot_id)
         cache = whisper.KVCache(
-            *(jax.vmap(lambda c: _gather_beams(c, parent, b, k))(x)
+            *(None if x is None else
+              jax.vmap(lambda c: _gather_beams(c, parent, b, k))(x)
               for x in new_cache)
         )
         if ts_cfg is not None:

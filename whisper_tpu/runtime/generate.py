@@ -51,6 +51,7 @@ def greedy_generate(
     eot_id: int,
     *,
     ts_cfg=None,                  # TimestampCfg to enforce timestamp grammar
+    int8_cross_kv: bool = False,  # store cross K/V int8 (halves KV streaming)
     precision=None,
 ) -> jax.Array:
     """Returns generated tokens [B, max_new_tokens] (prompt excluded).
@@ -70,7 +71,8 @@ def greedy_generate(
     tokens = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
 
     logits, cache = whisper.decoder_prefill(
-        params, dims, tokens, enc_states, max_len, precision=precision
+        params, dims, tokens, enc_states, max_len, precision=precision,
+        int8_cross_kv=int8_cross_kv,
     )
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None

@@ -64,6 +64,7 @@ class RuntimeCfg:
     fused_frontend: bool = False  # Pallas fused log-mel kernel (variant x3+)
     fused_attention: bool = False  # VMEM-resident encoder attention (x3+)
     int8_weights: bool = False    # per-channel int8 matmul weights (x4/int8)
+    int8_kv_cache: bool = False   # int8 cross-KV cache (x4/int8)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
     # is kept for the strict-parity variants (x0/x1).
@@ -208,6 +209,7 @@ class WhisperSession:
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
+                    int8_cross_kv=self.cfg.int8_kv_cache,
                     precision=precision,
                 )
 
@@ -288,12 +290,15 @@ class WhisperSession:
                         params, dims, enc, prompt, suppress, first_suppress,
                         max_new_tokens=max_new, eot_id=eot_id,
                         num_beams=num_beams, length_penalty=length_penalty,
-                        ts_cfg=ts_cfg, precision=precision,
+                        ts_cfg=ts_cfg,
+                        int8_cross_kv=self.cfg.int8_kv_cache,
+                        precision=precision,
                     )
                     return tokens
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
+                    int8_cross_kv=self.cfg.int8_kv_cache,
                     precision=precision,
                 )
 
@@ -366,6 +371,7 @@ class WhisperSession:
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
+                    int8_cross_kv=self.cfg.int8_kv_cache,
                     precision=precision,
                 )
 

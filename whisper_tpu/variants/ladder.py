@@ -38,6 +38,7 @@ class VariantSpec:
     fused_frontend: bool = False
     fused_attention: bool = False
     int8_weights: bool = False
+    int8_kv_cache: bool = False
     audio_transfer: str = "int16"
 
 
@@ -50,9 +51,10 @@ LADDER: Dict[str, VariantSpec] = {
     "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention",
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True),
-    "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weight matmuls",
+    "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weights + int8 KV",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True, int8_weights=True),
+                      fused_attention=True, int8_weights=True,
+                      int8_kv_cache=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -73,6 +75,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             fused_frontend=spec.fused_frontend,
             fused_attention=spec.fused_attention,
             int8_weights=spec.int8_weights,
+            int8_kv_cache=spec.int8_kv_cache,
             audio_transfer=spec.audio_transfer,
         ),
         spec,
