@@ -21,8 +21,6 @@ import time
 from pathlib import Path
 from typing import List, Optional
 
-import numpy as np
-
 AUDIO_EXTS = (".wav", ".flac", ".mp3")
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_tpu.models.registry import WhisperDims, get_dims
+from whisper_tpu.models.registry import WhisperDims
 from whisper_tpu.models.whisper import sinusoid_position_embedding
 
 PARAMS_FILE = "params.safetensors"

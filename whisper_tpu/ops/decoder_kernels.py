@@ -39,12 +39,11 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from whisper_tpu.models.registry import WhisperDims
-from whisper_tpu.models.whisper import KVCache, LN_EPS, _logits
+from whisper_tpu.models.whisper import LN_EPS, _logits
 
 NEG_INF = -1e30  # python float: jnp constants would be captured by kernels
 # Encoder keys per grid step: K+V blocks are double-buffered in VMEM, so at

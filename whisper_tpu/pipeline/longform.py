@@ -23,11 +23,7 @@ import numpy as np
 
 from whisper_tpu.frontend import golden
 from whisper_tpu.frontend.mel import log_mel_jax
-from whisper_tpu.pipeline.chunk import (
-    chunk_starts,
-    mel_frame_bucket,
-    slice_mel_chunks,
-)
+from whisper_tpu.pipeline.chunk import chunk_starts, mel_frame_bucket
 from whisper_tpu.pipeline.stitch import stitch_texts
 from whisper_tpu.runtime.generate import strip_generated
 from whisper_tpu.runtime.genconfig import GenerationCfg

@@ -6,7 +6,7 @@ Concatenates chunk texts, removing up to 16 overlapping words at each join
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 
 def word_overlap(a: str, b: str, max_words: int = 16) -> int:

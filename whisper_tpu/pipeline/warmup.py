@@ -10,7 +10,7 @@ shapes up front.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Set, Tuple
+from typing import Iterable, Set, Tuple
 
 import numpy as np
 
