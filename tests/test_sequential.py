@@ -1,0 +1,95 @@
+"""Sequential (seek-based) long-form tests: segment parsing + end-to-end
+smoke with the timestamp grammar on a nano model (the HF-style strategy of
+the reference's Python SUT, SURVEY.md §5.7)."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.pipeline.sequential import parse_segments, transcribe_sequential
+
+TSB = 400
+
+
+class TestParseSegments:
+    def test_paired_segments(self):
+        toks = [TSB + 0, 10, 11, TSB + 250, TSB + 250, 12, TSB + 400]
+        segs, last = parse_segments(toks, TSB, window_offset_s=0.0)
+        assert len(segs) == 2
+        assert segs[0].tokens == [10, 11]
+        assert segs[0].start_s == 0.0 and segs[0].end_s == pytest.approx(5.0)
+        assert segs[1].tokens == [12]
+        assert segs[1].end_s == pytest.approx(8.0)
+        assert last == 400
+
+    def test_unclosed_tail(self):
+        toks = [TSB + 0, 10, 11]
+        segs, last = parse_segments(toks, TSB, 0.0)
+        assert len(segs) == 1 and last is None
+        assert segs[0].end_s == pytest.approx(30.0)
+
+    def test_window_offset(self):
+        toks = [TSB + 100, 5, TSB + 200]
+        segs, _ = parse_segments(toks, TSB, window_offset_s=25.0)
+        assert segs[0].start_s == pytest.approx(27.0)
+        assert segs[0].end_s == pytest.approx(29.0)
+
+    def test_empty(self):
+        assert parse_segments([], TSB, 0.0) == ([], None)
+
+
+class TestSequentialE2E:
+    def test_seek_loop_terminates_and_segments(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(
+            init_params(dims, seed=1), dims,
+            RuntimeCfg(dtype="float32", max_batch=2),
+        )
+        rng = np.random.default_rng(0)
+        audio = rng.normal(0, 0.1, 50 * 16000).astype(np.float32)  # 50 s
+        text, segments, timing = transcribe_sequential(
+            sess, audio, "en", "transcribe", max_new_tokens=8,
+        )
+        # grammar forces the first token to be a timestamp, so the loop
+        # produces at least one window's worth of structure and terminates.
+        assert timing.end_to_end_s > 0
+        assert isinstance(text, str)
+        for s in segments:
+            assert s.end_s >= s.start_s >= 0
+
+    def test_cli_sequential_mode(self, tmp_path):
+        import json
+        import struct
+
+        from whisper_tpu.bench.cli import main
+
+        def _wav(path, data, sr=16000):
+            pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16, b"data", len(pcm))
+            open(path, "wb").write(hdr + pcm)
+
+        audio_dir = tmp_path / "a"
+        audio_dir.mkdir()
+        rng = np.random.default_rng(1)
+        _wav(str(audio_dir / "x.wav"), rng.normal(0, 0.1, 32000))
+        out = tmp_path / "o"
+        rc = main([
+            "--audio-dir", str(audio_dir),
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", str(tmp_path / "none"),
+            "--allow-random-init",
+            "--longform-mode", "sequential",
+            "--max-new-tokens", "6",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["n_files"] == 1

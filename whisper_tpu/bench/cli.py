@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
                         "without converted weights)")
+    p.add_argument("--longform-mode", default="chunked",
+                   choices=["chunked", "sequential"],
+                   help="chunked = reference rust strategy (fixed 30s windows"
+                        " + overlap stitching); sequential = HF-style"
+                        " seek-based timestamped segmentation")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the measured loop "
                         "to this directory (TensorBoard-compatible)")
@@ -253,11 +258,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         if executor is not None and idx + 1 < len(files):
             next_future = executor.submit(_load, files[idx + 1])
 
-        text, t = transcribe_longform(
-            session, audio, args.language, args.task, args.max_new_tokens,
-            args.chunk_length_s, args.overlap_s, tokenizer,
-            args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
-        )
+        if args.longform_mode == "sequential":
+            from whisper_tpu.pipeline.sequential import transcribe_sequential
+
+            text, _segments, t = transcribe_sequential(
+                session, audio, args.language, args.task,
+                args.max_new_tokens, tokenizer, gen_cfg,
+            )
+        else:
+            text, t = transcribe_longform(
+                session, audio, args.language, args.task, args.max_new_tokens,
+                args.chunk_length_s, args.overlap_s, tokenizer,
+                args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
+            )
 
         e2e = load_s + t.end_to_end_s
         rtf = e2e / max(dur, 1e-9)

@@ -1,0 +1,175 @@
+"""Sequential (seek-based) long-form transcription.
+
+The reference ships two long-form strategies (SURVEY.md §5.7): the Rust
+SUT's fixed-stride chunking with text stitching (pipeline.longform), and the
+Python SUT's HF-style *sequential* algorithm — decode a 30 s window with
+timestamps, then advance the seek position to the last predicted timestamp
+so segment boundaries follow the speech instead of a fixed grid
+(benchmark_without_hf_pipeline.py:236-244 via ``return_timestamps=True``).
+
+This module implements the sequential strategy natively:
+
+1. whole-file mel once on device;
+2. decode the window at ``seek`` with the timestamp grammar enforced
+   (runtime.timestamps);
+3. split the generated tokens into timestamped segments; if the window
+   ended on a timestamp boundary, advance ``seek`` to it (2 mel frames per
+   0.02 s timestamp step), else consume the whole window;
+4. repeat until the audio is exhausted.
+
+Unlike the chunked path there is no overlap stitching — boundaries are
+model-predicted.  Conditioning on previous text (sot_prev) is not applied,
+matching transformers' default ``condition_on_prev_tokens=False``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from whisper_tpu.frontend import golden
+from whisper_tpu.pipeline.chunk import CHUNK_FRAMES, mel_frame_bucket
+from whisper_tpu.runtime.genconfig import GenerationCfg
+from whisper_tpu.runtime.generate import strip_generated
+from whisper_tpu.runtime.timestamps import TimestampCfg
+from whisper_tpu.tokenizer.specials import special_tokens
+from whisper_tpu.utils.timing import Timing
+
+SAMPLE_RATE = 16_000
+FRAMES_PER_TS = 2  # one 0.02 s timestamp step = two 10 ms mel frames
+
+
+@dataclass
+class Segment:
+    start_s: float
+    end_s: float
+    tokens: List[int]
+    text: str = ""
+
+
+def parse_segments(
+    tokens: List[int], ts_begin: int, window_offset_s: float
+) -> Tuple[List[Segment], Optional[int]]:
+    """Split a generated token row into timestamped segments.
+
+    Returns (segments with absolute times, last closing timestamp index
+    relative to ts_begin — None if the window did not end on a boundary)."""
+    segments: List[Segment] = []
+    start: Optional[int] = None
+    body: List[int] = []
+    last_close: Optional[int] = None
+    for t in tokens:
+        if t >= ts_begin:
+            idx = t - ts_begin
+            if start is None:
+                start = idx
+            elif body:
+                segments.append(Segment(
+                    start_s=window_offset_s + start * 0.02,
+                    end_s=window_offset_s + idx * 0.02,
+                    tokens=body,
+                ))
+                last_close = idx
+                start = idx  # pairs: close also opens the next segment
+                body = []
+            else:
+                # consecutive timestamps: a closed pair boundary
+                last_close = idx
+                start = idx
+        else:
+            body.append(t)
+    if body and start is not None:
+        # Unclosed trailing segment: window ran out mid-speech.
+        segments.append(Segment(
+            start_s=window_offset_s + start * 0.02,
+            end_s=window_offset_s + CHUNK_FRAMES * 0.01,
+            tokens=body,
+        ))
+        last_close = None
+    return segments, last_close
+
+
+def transcribe_sequential(
+    session,
+    audio_16k: np.ndarray,
+    language: str,
+    task: str,
+    max_new_tokens: int = 224,
+    tokenizer=None,
+    gen_cfg: Optional[GenerationCfg] = None,
+    max_windows: int = 1000,
+) -> Tuple[str, List[Segment], Timing]:
+    """Seek-based long-form transcription. Returns (text, segments, timing)."""
+    t0 = time.perf_counter()
+    gen_cfg = gen_cfg or GenerationCfg()
+    special = special_tokens(language, task, tokenizer)
+    ts_begin = special.no_timestamps + 1
+    ts_cfg = TimestampCfg(
+        timestamp_begin=ts_begin,
+        eot_id=special.eot,
+        no_timestamps_id=special.no_timestamps,
+    )
+    prompt = [special.sot, special.lang, special.task]
+
+    audio_16k = np.asarray(audio_16k, dtype=np.float32)
+    tp0 = time.perf_counter()
+    padded = golden.reflect_pad(audio_16k)
+    total_frames = golden.num_frames(len(audio_16k))
+    bucket = mel_frame_bucket(total_frames)
+    mel_dev = jax.block_until_ready(
+        session.compute_mel(padded, total_frames, bucket)
+    )
+    preprocess_s = time.perf_counter() - tp0
+
+    segments: List[Segment] = []
+    model_s = 0.0
+    decode_s = 0.0
+    seek = 0
+    windows = 0
+    while seek < total_frames and windows < max_windows:
+        tm0 = time.perf_counter()
+        tokens = session.transcribe_from_mel(
+            mel_dev, [seek],
+            prompt=prompt, max_new_tokens=max_new_tokens,
+            eot_id=special.eot,
+            suppress_ids=gen_cfg.suppress_tokens,
+            begin_suppress_ids=gen_cfg.begin_suppress_tokens,
+            ts_cfg=ts_cfg,
+        )
+        model_s += time.perf_counter() - tm0
+
+        td0 = time.perf_counter()
+        gen = strip_generated(tokens[0], special.eot)
+        segs, last_close = parse_segments(gen, ts_begin, seek * 0.01)
+        segments.extend(segs)
+        decode_s += time.perf_counter() - td0
+
+        if last_close is not None and last_close > 0:
+            seek += last_close * FRAMES_PER_TS
+        else:
+            seek += CHUNK_FRAMES
+        windows += 1
+
+    td0 = time.perf_counter()
+    texts = []
+    for seg in segments:
+        if tokenizer is not None:
+            seg.text = tokenizer.decode(seg.tokens, skip_special_tokens=True)
+        else:
+            seg.text = f"[TOKENS:{' '.join(str(t) for t in seg.tokens[:200])}]"
+        if seg.text.strip():
+            texts.append(seg.text.strip())
+    full_text = " ".join(texts)
+    decode_s += time.perf_counter() - td0
+
+    timing = Timing(
+        preprocess_s=preprocess_s,
+        model_only_s=model_s,
+        decode_s=decode_s,
+        end_to_end_s=time.perf_counter() - t0,
+    )
+    return full_text, segments, timing
