@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--onnx-dir", default="whisper-base-with-past",
                    help="model dir (framework params + sidecars); reference "
                         "flag name kept for artifact compatibility")
-    p.add_argument("--language", default="en")
+    p.add_argument("--language", default="en",
+                   help="language code, or 'auto' to detect from the first "
+                        "30s window (detection is a whisper_tpu extension)")
     p.add_argument("--task", default="transcribe")
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--warmup", type=int, default=0)

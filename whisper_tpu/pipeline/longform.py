@@ -84,7 +84,8 @@ def transcribe_longform(
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
 
-    special = special_tokens(language, task, tokenizer)
+    detect = language == "auto"
+    special = special_tokens("en" if detect else language, task, tokenizer)
     prompt = [special.sot, special.lang, special.task]
     ts_cfg = None
     ts_begin = special.no_timestamps + 1
@@ -117,6 +118,22 @@ def transcribe_longform(
         session.compute_mel(padded, total_frames, bucket)
     )
     preprocess_s = time.perf_counter() - tp0
+
+    # `--language auto`: detect from the first 30 s window (a capability
+    # the reference lacks — its CLI requires an explicit language).
+    if detect:
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+        from whisper_tpu.runtime.langdetect import (
+            detect_language,
+            language_token_ids,
+        )
+
+        lang_ids = language_token_ids(tokenizer, special.sot,
+                                      session.dims.vocab_size)
+        mel0 = mel_dev[:, :CHUNK_FRAMES]
+        detected = detect_language(session, mel0, special.sot, lang_ids)
+        if detected is not None:
+            prompt[1] = detected[1]
 
     starts = chunk_starts(len(audio_16k), chunk_len, step)
     frame_starts = [pos // golden.HOP for pos in starts]
