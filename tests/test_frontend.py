@@ -114,3 +114,36 @@ class TestJaxVsGolden:
         want = golden.log_mel_golden(audio, n_mels=128)
         got = np.asarray(log_mel(audio, n_mels=128))
         np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+
+class TestTransferEncodings:
+    def test_int16_path_close_to_fp32(self):
+        audio = _speechy_audio(48_000)
+        want = golden.log_mel_golden(audio)
+        import jax.numpy as jnp
+
+        # exact reflect pad in float then quantize, matching the session
+        padded_f = reflect_pad(audio)
+        padded = np.round(np.clip(padded_f, -1, 1) * 32767.0).astype(np.int16)
+        got = np.asarray(log_mel_jax(
+            jnp.asarray(padded), jnp.int32(num_frames(len(audio))),
+            n_mels=80, n_frames=num_frames(len(audio)),
+        ))
+        assert np.abs(got - want).max() < 5e-3
+
+    def test_ulaw8_path_close_to_fp32(self):
+        from whisper_tpu.audio.resample import ulaw_encode
+        import jax.numpy as jnp
+
+        audio = _speechy_audio(48_000)
+        want = golden.log_mel_golden(audio)
+        padded = ulaw_encode(reflect_pad(audio))
+        got = np.asarray(log_mel_jax(
+            jnp.asarray(padded), jnp.int32(num_frames(len(audio))),
+            n_mels=80, n_frames=num_frames(len(audio)),
+        ))
+        # mu-law's white quantization noise floor dominates QUIET mel bins
+        # (log scale amplifies it): mean error stays small but the max is
+        # large — which is exactly why ulaw8 is opt-in, not a ladder rung.
+        assert np.abs(got - want).mean() < 0.02
+        assert np.abs(got - want).max() < 1.0

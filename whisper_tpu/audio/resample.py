@@ -12,6 +12,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def ulaw_encode(x: np.ndarray, mu: float = 255.0) -> np.ndarray:
+    """mu-law companding to uint8 (G.711-style): halves the host->device
+    payload vs int16 at ~37 dB SNR. Used by the fastest transfer variant."""
+    x = np.clip(np.asarray(x, dtype=np.float32), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
 def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.float32)
     if sr_in == sr_out:

@@ -96,10 +96,15 @@ def log_mel_jax(
         raise ValueError("n_frames (static) is required")
     _, cosw, sinw, fb_t = _constants(n_mels)
 
-    # int16 input: audio quantized host-side to halve the host->device
-    # transfer (bandwidth-bound over the device tunnel); dequantize here.
+    # Compact transfer encodings (the device link is bandwidth-bound):
+    # int16 halves the payload; uint8 mu-law (G.711-style) quarters it.
     if padded_audio.dtype == jnp.int16:
         padded_audio = padded_audio.astype(jnp.float32) * (1.0 / 32767.0)
+    elif padded_audio.dtype == jnp.uint8:
+        y = padded_audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        padded_audio = jnp.sign(y) * (
+            jnp.expm1(jnp.abs(y) * jnp.log1p(255.0)) / 255.0
+        )
     frames = frame_signal(padded_audio.astype(jnp.float32), n_frames)
     # Window is folded into the DFT matrices.  HIGHEST precision: the front
     # end is the root of the token-parity contract and costs ~nothing, so we

@@ -106,8 +106,13 @@ def log_mel_pallas(
 
     # Hop-strided row views: frame f = rows f, f+1, f+2 of [*, HOP] reshape.
     need = (nf_pad + 2) * HOP
-    if padded_audio.dtype == jnp.int16:  # see frontend.mel: transfer as int16
+    if padded_audio.dtype == jnp.int16:  # compact transfer (frontend.mel)
         audio = padded_audio.astype(jnp.float32) * (1.0 / 32767.0)
+    elif padded_audio.dtype == jnp.uint8:  # mu-law transfer
+        y = padded_audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        audio = jnp.sign(y) * (
+            jnp.expm1(jnp.abs(y) * jnp.log1p(255.0)) / 255.0
+        )
     else:
         audio = padded_audio.astype(jnp.float32)
     audio = jnp.pad(audio, (0, max(0, need - audio.shape[0])))

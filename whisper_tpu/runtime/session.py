@@ -230,6 +230,20 @@ class WhisperSession:
             self._masks[key] = (jnp.asarray(base), jnp.asarray(first))
         return self._masks[key]
 
+    def _encode_transfer(self, audio: np.ndarray) -> np.ndarray:
+        """Host-side compact encoding of audio for upload (the device link
+        is bandwidth-bound for incompressible signals): int16 halves the
+        payload, uint8 mu-law quarters it; fp32 for parity variants."""
+        mode = self.cfg.audio_transfer
+        if mode == "int16" and audio.dtype != np.int16:
+            x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+            return np.round(x * 32767.0).astype(np.int16)
+        if mode == "ulaw8" and audio.dtype != np.uint8:
+            from whisper_tpu.audio.resample import ulaw_encode
+
+            return ulaw_encode(audio)
+        return audio
+
     # -- on-device mel + chunk slicing (no host round trip) -----------------
 
     def compute_mel(self, padded_audio: np.ndarray, n_valid: int,
@@ -244,6 +258,11 @@ class WhisperSession:
                 np.asarray(padded_audio, dtype=np.float32), -1.0, 1.0
             )
             padded_audio = np.round(padded_audio * 32767.0).astype(np.int16)
+        elif (self.cfg.audio_transfer == "ulaw8"
+              and padded_audio.dtype != np.uint8):
+            from whisper_tpu.audio.resample import ulaw_encode
+
+            padded_audio = ulaw_encode(padded_audio)
         if self.cfg.fused_frontend:
             from whisper_tpu.ops.pallas_mel import log_mel_pallas
 
@@ -392,10 +411,7 @@ class WhisperSession:
         """One fused program over a batch of short utterances (the
         continuous-batching serving path, BASELINE.json config 5)."""
         b, l = padded_audio.shape
-        if self.cfg.audio_transfer == "int16" and padded_audio.dtype != np.int16:
-            padded_audio = np.round(
-                np.clip(padded_audio, -1.0, 1.0) * 32767.0
-            ).astype(np.int16)
+        padded_audio = self._encode_transfer(padded_audio)
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
         fn = self._get_short_fn(l, b, len(prompt), max_new_tokens, eot_id,
