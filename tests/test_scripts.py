@@ -1,0 +1,52 @@
+"""Orchestration-script test: scripts/run_tpu_benchmarks.sh end-to-end on a
+nano model (S1/S2 analog, SURVEY.md §2.3)."""
+
+import csv
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_runner_script_end_to_end(tmp_path):
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 0.1, 16000)
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, 1, 16000, 32000, 2, 16, b"data", len(pcm))
+    (audio_dir / "x.wav").write_bytes(hdr + pcm)
+
+    env = dict(os.environ)
+    env.update({
+        "AUDIO_DIR": str(audio_dir),
+        "MODEL_ID": "test/whisper-nano",
+        "VARIANTS": "x2",
+        "MAX_NEW_TOKENS": "3",
+        "WARMUP": "0",
+        "SUT_NAME": "ci",
+        "CORE_COUNT": "1",
+        "MEMORY_GB": "1",
+        "PYTHONPATH": REPO,
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "run_tpu_benchmarks.sh")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+
+    out_root = tmp_path / "results" / "benchmarks" / "tpu"
+    assert (out_root / "summary_table.md").is_file()
+    rows = list(csv.DictReader(open(out_root / "summary_table.csv")))
+    assert rows and rows[0]["implementation"].startswith("whisper-tpu")
+    hist = list(csv.DictReader(open(tmp_path / "RESULTS.csv")))
+    assert hist[0]["sut_name"] == "ci"
+    assert (tmp_path / "RESULTS.md").read_text().count("<!-- RESULTS:") >= 1
