@@ -236,11 +236,23 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         executor = ThreadPoolExecutor(max_workers=1)
 
-    def _load(fnm):
-        return load_audio_16k_mono(os.path.join(args.audio_dir, fnm))
+    def _load(fnm, with_mel=False):
+        """Load + resample; with_mel additionally uploads the audio and
+        computes the device mel — overlapping the previous file's decode
+        when called from the prefetch thread."""
+        audio, sr, dur = load_audio_16k_mono(os.path.join(args.audio_dir, fnm))
+        pre_mel = None
+        if with_mel and args.longform_mode == "chunked":
+            from whisper_tpu.frontend import golden as _g
+            from whisper_tpu.pipeline.chunk import mel_frame_bucket as _mfb
+
+            padded = _g.reflect_pad(audio)
+            total = _g.num_frames(len(audio))
+            pre_mel = (session.compute_mel(padded, total, _mfb(total)), total)
+        return audio, sr, dur, pre_mel
 
     if executor is not None:
-        next_future = executor.submit(_load, files[0])
+        next_future = executor.submit(_load, files[0], True)
 
     profile_ctx = None
     if args.profile_dir:
@@ -252,13 +264,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     for idx, fnm in enumerate(files):
         tl0 = time.perf_counter()
         if executor is not None:
-            audio, sr, dur = next_future.result()
+            audio, sr, dur, pre_mel = next_future.result()
         else:
-            audio, sr, dur = _load(fnm)
+            audio, sr, dur, pre_mel = _load(fnm)
         load_s = time.perf_counter() - tl0
         assert sr == 16_000
         if executor is not None and idx + 1 < len(files):
-            next_future = executor.submit(_load, files[idx + 1])
+            next_future = executor.submit(_load, files[idx + 1], True)
 
         if args.longform_mode == "sequential":
             from whisper_tpu.pipeline.sequential import transcribe_sequential
@@ -272,6 +284,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 session, audio, args.language, args.task, args.max_new_tokens,
                 args.chunk_length_s, args.overlap_s, tokenizer,
                 args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
+                precomputed_mel=pre_mel,
             )
 
         e2e = load_s + t.end_to_end_s

@@ -78,9 +78,14 @@ def transcribe_longform(
     gen_cfg: Optional[GenerationCfg] = None,
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    precomputed_mel: Optional[Tuple] = None,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
-    (stitched text, Timing)."""
+    (stitched text, Timing).
+
+    precomputed_mel: optional (device_mel, total_frames) pair, e.g. uploaded
+    and computed by a prefetcher while the previous file was decoding —
+    preprocess_s then only measures the residual wait."""
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
 
@@ -111,12 +116,16 @@ def transcribe_longform(
     # the compute, so chunk slicing happens inside the jitted program.
     tp0 = time.perf_counter()
     audio_16k = np.asarray(audio_16k, dtype=np.float32)
-    padded = golden.reflect_pad(audio_16k)
-    total_frames = golden.num_frames(len(audio_16k))
-    bucket = mel_frame_bucket(total_frames)
-    mel_dev = jax.block_until_ready(
-        session.compute_mel(padded, total_frames, bucket)
-    )
+    if precomputed_mel is not None:
+        mel_dev, total_frames = precomputed_mel
+        jax.block_until_ready(mel_dev)
+    else:
+        padded = golden.reflect_pad(audio_16k)
+        total_frames = golden.num_frames(len(audio_16k))
+        bucket = mel_frame_bucket(total_frames)
+        mel_dev = jax.block_until_ready(
+            session.compute_mel(padded, total_frames, bucket)
+        )
     preprocess_s = time.perf_counter() - tp0
 
     # `--language auto`: detect from the first 30 s window (a capability
