@@ -233,3 +233,40 @@ class TestCli:
         assert cfg["dtype"] == "float32"
         assert cfg["max_batch"] == 2
         assert cfg["allow_spinning"] is True
+
+    def test_discovery_roundtrip_via_autotuner(self, model_dir, audio_dir, tmp_path):
+        """discover -> best.json -> bench --discovery-best-json consumes it."""
+        from whisper_tpu.bench.discover import main as discover_main
+        from whisper_tpu.bench.cli import main
+
+        best = tmp_path / "best.json"
+        rc = discover_main([
+            "--model-id", "test/whisper-nano",
+            "--synthetic-s", "2",
+            "--variants", "x2",
+            "--max-batches", "2",
+            "--max-new-tokens", "3",
+            "--runs", "1",
+            "--out", str(best),
+        ])
+        assert rc == 0
+        data = json.load(open(best))
+        assert data["best"]["dtype"] == "bfloat16"
+        assert data["sweep"]
+
+        out = tmp_path / "rdisc"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--discovery-best-json", str(best),
+            "--limit-files", "1",
+            "--max-new-tokens", "3",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+        ])
+        assert rc == 0
+        cfg = json.load(open(out / "s.json"))["config_used"]
+        assert cfg["dtype"] == "bfloat16"
+        assert cfg["max_batch"] == 2

@@ -141,6 +141,11 @@ def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
         matmul_precision=_coerce_str(best.get("matmul_precision"), fb.matmul_precision),
         max_batch=_coerce_int(best.get("max_batch"), fb.max_batch),
         donate_cache=_coerce_bool(best.get("donate_cache"), fb.donate_cache),
+        fused_frontend=_coerce_bool(best.get("fused_frontend"), fb.fused_frontend),
+        fused_attention=_coerce_bool(best.get("fused_attention"), fb.fused_attention),
+        int8_weights=_coerce_bool(best.get("int8_weights"), fb.int8_weights),
+        int8_kv_cache=_coerce_bool(best.get("int8_kv_cache"), fb.int8_kv_cache),
+        audio_transfer=_coerce_str(best.get("audio_transfer"), fb.audio_transfer),
         data_parallel=_coerce_int(best.get("data_parallel"), fb.data_parallel),
         tensor_parallel=_coerce_int(best.get("tensor_parallel"), fb.tensor_parallel),
         intra_op=_coerce_int(best.get("intra_op"), fb.intra_op),
