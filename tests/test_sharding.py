@@ -64,3 +64,50 @@ def test_tp_matches_single_device():
             jax.jit(lambda p, m: whisper.encoder_apply(p, dims, m))(p_sh, mel_sh)
         )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+class TestSessionMesh:
+    """DP/TP wired through the WhisperSession surface (not just primitives)."""
+
+    def test_dp_tp_session_matches_single_device(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")  # 2 heads -> tp=2 legal
+        params = init_params(dims, seed=4)
+        rng = np.random.default_rng(0)
+        mel_chunks = np.zeros((4, dims.n_mels, 3000), dtype=np.float32)
+        mel_chunks[:, :, :128] = rng.normal(
+            0, 1, (4, dims.n_mels, 128)
+        ).astype(np.float32)
+
+        plain = WhisperSession(
+            params, dims, RuntimeCfg(dtype="float32", max_batch=4),
+        )
+        want = plain.transcribe_chunks(mel_chunks, prompt=[3], max_new_tokens=4,
+                                       eot_id=2)
+
+        sharded = WhisperSession(
+            params, dims,
+            RuntimeCfg(dtype="float32", max_batch=4,
+                       data_parallel=4, tensor_parallel=2),
+        )
+        assert sharded._mesh is not None
+        got = sharded.transcribe_chunks(mel_chunks, prompt=[3],
+                                        max_new_tokens=4, eot_id=2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_params_actually_sharded(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from jax.sharding import PartitionSpec as P
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(
+            init_params(dims, seed=0), dims,
+            RuntimeCfg(dtype="float32", data_parallel=2, tensor_parallel=2),
+        )
+        sh = sess.params["decoder"]["blocks"]["fc1_w"].sharding
+        assert sh.spec == P(None, None, "model")

@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked = reference rust strategy (fixed 30s windows"
                         " + overlap stitching); sequential = HF-style"
                         " seek-based timestamped segmentation")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard chunk batches over N chips ('data' mesh axis)")
+    p.add_argument("--tensor-parallel", type=int, default=0,
+                   help="shard attention heads / MLP over N chips ('model' axis)")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the measured loop "
                         "to this directory (TensorBoard-compatible)")
@@ -156,6 +160,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = dataclasses.replace(cfg, matmul_precision=args.matmul_precision)
     if args.max_batch > 0:
         cfg = dataclasses.replace(cfg, max_batch=args.max_batch)
+    if args.data_parallel > 0:
+        cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
+    if args.tensor_parallel > 0:
+        cfg = dataclasses.replace(cfg, tensor_parallel=args.tensor_parallel)
     elif args.chunk_parallelism > 0:
         # Reference semantics: cap on concurrently-processed chunks.
         b = 1

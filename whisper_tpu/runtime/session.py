@@ -192,11 +192,41 @@ class WhisperSession:
             if not is_quantized(params):
                 params = quantize_params(params)
         self.params = cast_params(params, self.cfg.jnp_dtype)
+
+        # Multi-chip: cfg.data_parallel x cfg.tensor_parallel builds a
+        # ('data','model') mesh; params follow the TP rules, chunk batches
+        # shard over 'data' (SURVEY.md §2.4 — new design, the reference is
+        # single-process). Explicit shardings passed in win.
+        self._mesh = None
+        self._batch_sharding = None
+        n_mesh = self.cfg.data_parallel * self.cfg.tensor_parallel
+        if param_shardings is None and n_mesh > 1:
+            from whisper_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                param_shardings as tp_shardings,
+            )
+
+            self._mesh = make_mesh(
+                n_mesh, model_parallel=self.cfg.tensor_parallel
+            )
+            param_shardings = tp_shardings(self.params, self._mesh)
+            if self.cfg.data_parallel > 1:
+                self._batch_sharding = batch_sharding(self._mesh)
         if param_shardings is not None:
             self.params = jax.device_put(self.params, param_shardings)
         self._in_shardings = in_shardings
         self._fns: Dict[Tuple[int, int, int], object] = {}
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
+
+    def _put_batch(self, x: jax.Array) -> jax.Array:
+        """Shard a [B, ...] batch over the 'data' axis when a mesh is up."""
+        if self._mesh is not None and self.cfg.data_parallel > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self._mesh, spec))
+        return x
 
     # -- compiled-function cache ------------------------------------------
 
@@ -363,8 +393,8 @@ class WhisperSession:
             fn = self._get_mel_fn(n_frames, bucket, len(prompt),
                                   max_new_tokens, eot_id, num_beams,
                                   length_penalty, ts_cfg)
-            toks = fn(self.params, mel, jnp.asarray(starts), prompt_arr,
-                      base_mask, first_mask)
+            toks = fn(self.params, mel, self._put_batch(jnp.asarray(starts)),
+                      prompt_arr, base_mask, first_mask)
             out[start : start + n] = np.asarray(toks)[:n]
             start += n
         return out
@@ -421,8 +451,8 @@ class WhisperSession:
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
         fn = self._get_short_fn(l, b, len(prompt), max_new_tokens, eot_id,
                                 ts_cfg)
-        toks = fn(self.params, jnp.asarray(padded_audio),
-                  jnp.asarray(n_valid_frames.astype(np.int32)),
+        toks = fn(self.params, self._put_batch(jnp.asarray(padded_audio)),
+                  self._put_batch(jnp.asarray(n_valid_frames.astype(np.int32))),
                   prompt_arr, base_mask, first_mask)
         return np.asarray(toks)
 
@@ -459,8 +489,8 @@ class WhisperSession:
             )
             mel[:n] = mel_chunks[start : start + n]
             fn = self._get_fn(bucket, len(prompt), max_new_tokens, eot_id)
-            toks = fn(self.params, jnp.asarray(mel), prompt_arr,
-                      base_mask, first_mask)
+            toks = fn(self.params, self._put_batch(jnp.asarray(mel)),
+                      prompt_arr, base_mask, first_mask)
             out[start : start + n] = np.asarray(toks)[:n]
             start += n
         return out
