@@ -96,3 +96,50 @@ def test_int8_weights_dequantized_once(setup):
     want, _ = whisper.decoder_step(params, dims, tok, jnp.int32(3), cache)
     # int8 quantization error only
     assert np.abs(np.asarray(logits) - np.asarray(want)).max() < 0.5
+
+
+class TestHybridStep:
+    """Hybrid fused step (fused QKV + Pallas MLP + XLA attention) — the
+    production fast path for bf16 rungs (x3/x4)."""
+
+    def test_greedy_parity_hybrid_vs_plain(self, setup):
+        import jax.numpy as jnp
+
+        from whisper_tpu.runtime.generate import (
+            build_suppress_mask,
+            greedy_generate,
+        )
+
+        dims, params, sw, cache, b = setup
+        rng = np.random.default_rng(7)
+        enc = jnp.asarray(
+            rng.normal(0, 1, (2, 96, dims.d_model)).astype(np.float32)
+        )
+        prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+        zero = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        plain = np.asarray(greedy_generate(
+            params, dims, enc, prompt, zero, zero,
+            max_new_tokens=6, eot_id=2,
+        ))
+        hybrid = np.asarray(greedy_generate(
+            params, dims, enc, prompt, zero, zero,
+            max_new_tokens=6, eot_id=2, step_weights=sw,
+        ))
+        np.testing.assert_array_equal(hybrid, plain)
+
+    def test_session_x3_builds_step_weights(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.variants.ladder import apply_variant
+
+        dims = get_dims("test/whisper-nano")
+        cfg, _ = apply_variant(RuntimeCfg(max_batch=2), "x3")
+        assert cfg.fused_decoder_step
+        sess = WhisperSession(init_params(dims, seed=1), dims, cfg)
+        assert sess._step_weights is not None
+        rng = np.random.default_rng(0)
+        mel = rng.normal(0, 1, (2, dims.n_mels, 3000)).astype(np.float32)
+        toks = sess.transcribe_chunks(mel, prompt=[3], max_new_tokens=4,
+                                      eot_id=2)
+        assert toks.shape == (2, 4)

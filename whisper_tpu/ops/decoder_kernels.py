@@ -311,6 +311,85 @@ def build_step_weights(params: Dict, dims: WhisperDims) -> Dict[str, Any]:
     }
 
 
+def decoder_step_hybrid(
+    params: Dict,
+    step_weights: Dict[str, Any],
+    dims: WhisperDims,
+    token: jax.Array,      # [B] int32
+    pos: jax.Array,        # scalar
+    cache,
+    *,
+    interpret: bool = False,
+    precision=None,
+):
+    """Hybrid fused decoder step — THE production fast path for bf16 rungs.
+
+    Measured 35% faster than the plain XLA step (0.81 vs 1.26 ms at
+    whisper-base/batch 16): QKV collapse into one pre-fused matmul, the MLP
+    runs as one Pallas kernel, and attention stays in XLA (which already
+    runs near the cross-KV memory floor — see the module STATUS note on why
+    fully-fused attention kernels lost). Signature matches
+    models.whisper.decoder_step (KVCache in/out).
+    """
+    from whisper_tpu.models.whisper import (
+        _attend,
+        _attend_int8,
+        _layer_norm,
+        _merge_heads,
+        _split_heads,
+    )
+
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    h = dims.decoder_heads
+    d = dims.d_model
+    sw = step_weights
+
+    x = dec["tok_emb"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_embed"], pos, 1, axis=0
+    ).astype(dtype)
+    max_len = cache.self_k.shape[3]
+    mask = (jnp.arange(max_len) <= pos)[None, :]
+
+    new_sk, new_sv = [], []
+    for i in range(dims.decoder_layers):
+        r = _layer_norm(x, sw["ln1"][i][0], sw["ln1"][i][1])
+        qkv = jnp.dot(r, sw["qkv_w"][i], precision=precision,
+                      preferred_element_type=dtype) + sw["qkv_b"][i][0]
+        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+        q, k, v = (_split_heads(t, h) for t in (q, k, v))
+        sk = jax.lax.dynamic_update_slice(cache.self_k[i], k, (0, 0, pos, 0))
+        sv = jax.lax.dynamic_update_slice(cache.self_v[i], v, (0, 0, pos, 0))
+        new_sk.append(sk)
+        new_sv.append(sv)
+        o = _attend(q, sk, sv, mask, precision)
+        x = x + jnp.dot(_merge_heads(o), sw["o_w"][i], precision=precision,
+                        preferred_element_type=dtype) + sw["o_b"][i][0]
+
+        r = _layer_norm(x, sw["ln2"][i][0], sw["ln2"][i][1])
+        q = _split_heads(
+            jnp.dot(r, sw["xq_w"][i], precision=precision,
+                    preferred_element_type=dtype) + sw["xq_b"][i][0], h)
+        if cache.cross_k_scale is not None:
+            o = _attend_int8(q, cache.cross_k[i], cache.cross_v[i],
+                             cache.cross_k_scale[i], cache.cross_v_scale[i],
+                             precision)
+        else:
+            o = _attend(q, cache.cross_k[i], cache.cross_v[i], None, precision)
+        x = x + jnp.dot(_merge_heads(o), sw["xo_w"][i], precision=precision,
+                        preferred_element_type=dtype) + sw["xo_b"][i][0]
+
+        x = mlp_block(x[:, 0, :], sw["ln3"][i], sw["fc1_w"][i],
+                      sw["fc1_b"][i], sw["fc2_w"][i], sw["fc2_b"][i],
+                      interpret=interpret)[:, None, :]
+
+    x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
+    logits = _logits(params, x, precision)[:, 0, :]
+    return logits, cache._replace(
+        self_k=jnp.stack(new_sk), self_v=jnp.stack(new_sv)
+    )
+
+
 def cache_to_time_major(self_k: jax.Array) -> jax.Array:
     """[L, B, H, S, Dh] -> [L, S, B, H*Dh] (once per generate call)."""
     l, b, h, s, dh = self_k.shape

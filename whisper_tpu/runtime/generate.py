@@ -52,6 +52,7 @@ def greedy_generate(
     *,
     ts_cfg=None,                  # TimestampCfg to enforce timestamp grammar
     int8_cross_kv: bool = False,  # store cross K/V int8 (halves KV streaming)
+    step_weights=None,            # pre-fused weights -> hybrid fast step
     precision=None,
 ) -> jax.Array:
     """Returns generated tokens [B, max_new_tokens] (prompt excluded).
@@ -94,9 +95,18 @@ def greedy_generate(
     def body(state):
         i, buf, last, done, cache, ts_state = state
         # `last` was generated as token index p+i-1 in the full sequence.
-        step_logits, cache = whisper.decoder_step(
-            params, dims, last, p + i - 1, cache, precision=precision
-        )
+        if step_weights is not None:
+            from whisper_tpu.ops.decoder_kernels import decoder_step_hybrid
+
+            step_logits, cache = decoder_step_hybrid(
+                params, step_weights, dims, last, p + i - 1, cache,
+                interpret=jax.default_backend() != "tpu",
+                precision=precision,
+            )
+        else:
+            step_logits, cache = whisper.decoder_step(
+                params, dims, last, p + i - 1, cache, precision=precision
+            )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:
             step_logits = ts.apply_rules(step_logits, ts_state, i, ts_cfg)

@@ -39,6 +39,7 @@ class VariantSpec:
     fused_attention: bool = False
     int8_weights: bool = False
     int8_kv_cache: bool = False
+    fused_decoder_step: bool = False
     audio_transfer: str = "int16"
 
 
@@ -48,13 +49,14 @@ LADDER: Dict[str, VariantSpec] = {
     "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
                       "float32", "high", audio_transfer="float32"),
     "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
-    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention",
+    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention "
+                      "+ hybrid fused decode step",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True),
+                      fused_attention=True, fused_decoder_step=True),
     "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weights + int8 KV",
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True, int8_weights=True,
-                      int8_kv_cache=True),
+                      int8_kv_cache=True, fused_decoder_step=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -76,6 +78,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             fused_attention=spec.fused_attention,
             int8_weights=spec.int8_weights,
             int8_kv_cache=spec.int8_kv_cache,
+            fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
         ),
         spec,
