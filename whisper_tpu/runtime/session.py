@@ -297,16 +297,7 @@ class WhisperSession:
         The result is intentionally not copied to the host: the tunnel D2H
         path is slow relative to on-chip compute, so chunk slicing happens
         on device in transcribe_from_mel."""
-        if self.cfg.audio_transfer == "int16" and padded_audio.dtype != np.int16:
-            padded_audio = np.clip(
-                np.asarray(padded_audio, dtype=np.float32), -1.0, 1.0
-            )
-            padded_audio = np.round(padded_audio * 32767.0).astype(np.int16)
-        elif (self.cfg.audio_transfer == "ulaw8"
-              and padded_audio.dtype != np.uint8):
-            from whisper_tpu.audio.resample import ulaw_encode
-
-            padded_audio = ulaw_encode(padded_audio)
+        padded_audio = self._encode_transfer(padded_audio)
         if self.cfg.fused_frontend:
             from whisper_tpu.ops.pallas_mel import log_mel_pallas
 
