@@ -63,7 +63,7 @@ def main() -> None:
 
     run()  # warmup: XLA compilation + first execution
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
