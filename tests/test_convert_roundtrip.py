@@ -80,3 +80,25 @@ class TestConverterCli:
 
         qparams, _ = convert.load_params(str(out) + "-int8")
         assert is_quantized(qparams)
+
+
+class TestTurboConfigGeneration:
+    def test_turbo_style_greedy_runs(self, turbo_like):
+        """4-enc/2-dec asymmetric model through the full generate path."""
+        import jax.numpy as jnp
+
+        from whisper_tpu.runtime.generate import (
+            build_suppress_mask,
+            greedy_generate,
+        )
+
+        _, dims, params = turbo_like
+        rng = np.random.default_rng(0)
+        mel = rng.normal(0, 1, (2, dims.n_mels, 200)).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        zero = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        toks = greedy_generate(
+            params, dims, enc, jnp.asarray([3], dtype=jnp.int32),
+            zero, zero, max_new_tokens=5, eot_id=2,
+        )
+        assert toks.shape == (2, 5)

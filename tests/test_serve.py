@@ -153,3 +153,48 @@ class TestServer:
         loop = loop_holder["loop"]
         loop.call_soon_threadsafe(loop.stop)
         eng.close()
+
+
+class TestServerStats:
+    def test_stats_request(self, session):
+        """The 'stats' protocol message returns engine counters."""
+        import asyncio as aio
+
+        from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+        from whisper_tpu.serve.server import serve
+
+        eng = StreamingEngine(session, cfg=EngineConfig(max_new_tokens=2))
+        port = 18777
+        ready = threading.Event()
+        holder = {}
+
+        def run_loop():
+            loop = aio.new_event_loop()
+            holder["loop"] = loop
+            aio.set_event_loop(loop)
+
+            class Ev:
+                def set(self):
+                    ready.set()
+
+            try:
+                loop.run_until_complete(serve(eng, "127.0.0.1", port, Ev()))
+            except aio.CancelledError:
+                pass
+            finally:
+                loop.close()
+
+        t = threading.Thread(target=run_loop, daemon=True)
+        t.start()
+        assert ready.wait(timeout=30)
+
+        import socket
+
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            s.sendall(b'{"id": "q", "stats": true}\n')
+            f = s.makefile()
+            resp = json.loads(f.readline())
+        assert resp["id"] == "q"
+        assert set(resp["stats"]) >= {"batches", "batched_requests", "longform"}
+        holder["loop"].call_soon_threadsafe(holder["loop"].stop)
+        eng.close()

@@ -3,9 +3,10 @@
 Protocol (one JSON object per line, both directions):
   request:  {"id": "r1", "pcm16_b64": "<base64 int16 @16 kHz mono>"}
             or {"id": "r1", "path": "/abs/file.wav"}
+            or {"id": "r1", "stats": true}  (engine counters)
             optional: "sample_rate" (default 16000, resampled if different)
   response: {"id": "r1", "text": "...", "latency_s": 0.12}
-            or {"id": "r1", "error": "..."}
+            or {"id": "r1", "stats": {...}} or {"id": "r1", "error": "..."}
 
 Run: python -m whisper_tpu.serve.server --model-dir DIR [--port 8765]
      [--allow-random-init --model-id openai/whisper-base] [--variant x4]
@@ -53,6 +54,12 @@ async def handle_client(engine: StreamingEngine, reader, writer) -> None:
             msg = None
             try:
                 msg = json.loads(line)
+                if isinstance(msg, dict) and msg.get("stats"):
+                    writer.write((json.dumps(
+                        {"id": msg.get("id"), "stats": engine.stats}
+                    ) + "\n").encode())
+                    await writer.drain()
+                    continue
                 audio = _decode_audio(msg)
                 t0 = time.perf_counter()
                 fut = engine.submit(audio)
