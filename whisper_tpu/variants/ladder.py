@@ -49,14 +49,13 @@ LADDER: Dict[str, VariantSpec] = {
     "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
                       "float32", "high", audio_transfer="float32"),
     "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
-    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention "
-                      "+ hybrid fused decode step",
+    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True, fused_decoder_step=True),
+                      fused_attention=True),
     "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weights + int8 KV",
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True, int8_weights=True,
-                      int8_kv_cache=True, fused_decoder_step=True),
+                      int8_kv_cache=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
