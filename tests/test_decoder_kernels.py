@@ -127,7 +127,12 @@ class TestHybridStep:
         ))
         np.testing.assert_array_equal(hybrid, plain)
 
-    def test_session_x3_builds_step_weights(self):
+    def test_session_opt_in_builds_step_weights(self):
+        """fused_decoder_step is opt-in (off in the ladder — see DESIGN.md
+        trace verdict); the session must build and use the pre-fused
+        weights when enabled."""
+        import dataclasses
+
         from whisper_tpu.models.convert import init_params
         from whisper_tpu.models.registry import get_dims
         from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
@@ -135,7 +140,8 @@ class TestHybridStep:
 
         dims = get_dims("test/whisper-nano")
         cfg, _ = apply_variant(RuntimeCfg(max_batch=2), "x3")
-        assert cfg.fused_decoder_step
+        assert not cfg.fused_decoder_step  # off by default
+        cfg = dataclasses.replace(cfg, fused_decoder_step=True)
         sess = WhisperSession(init_params(dims, seed=1), dims, cfg)
         assert sess._step_weights is not None
         rng = np.random.default_rng(0)
