@@ -1,0 +1,78 @@
+"""Speculative decoding tests.
+
+The defining property is LOSSLESSNESS: for any drafter — adversarially
+different, or identical — the committed greedy sequence must equal plain
+greedy decoding of the main model. A perfect drafter must also cut the
+number of full-model rounds to ~1/draft_k."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_tpu.models import whisper
+from whisper_tpu.models.convert import init_params
+from whisper_tpu.models.registry import get_dims
+from whisper_tpu.runtime.generate import build_suppress_mask, greedy_generate
+from whisper_tpu.runtime.speculative import speculative_generate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)       # verifier
+    draft = init_params(dims, seed=99)       # adversarially different drafter
+    rng = np.random.default_rng(1)
+    mel = rng.normal(0, 1, (1, dims.n_mels, 3000)).astype(np.float32)
+    enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+    enc_draft = whisper.encoder_apply(draft, dims, jnp.asarray(mel))
+    return dims, params, draft, enc, enc_draft
+
+
+def _greedy(params, dims, enc, prompt, max_new, suppress=()):
+    mask = jnp.asarray(build_suppress_mask(dims.vocab_size, list(suppress)))
+    return np.asarray(greedy_generate(
+        params, dims, enc, jnp.asarray(prompt, dtype=jnp.int32),
+        mask, mask, max_new_tokens=max_new, eot_id=2,
+    ))[0]
+
+
+def _spec(params, dims, draft, enc, enc_d, prompt, max_new, k, suppress=()):
+    mask = jnp.asarray(build_suppress_mask(dims.vocab_size, list(suppress)))
+    toks, rounds, n = speculative_generate(
+        params, dims, draft, dims, enc, enc_d,
+        jnp.asarray(prompt, dtype=jnp.int32), mask, mask,
+        max_new_tokens=max_new, eot_id=2, draft_k=k,
+    )
+    return np.asarray(toks)[0], int(rounds), int(n)
+
+
+class TestLossless:
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_adversarial_drafter_matches_greedy(self, setup, k):
+        dims, params, draft, enc, enc_d = setup
+        want = _greedy(params, dims, enc, [3, 5], 12)
+        got, rounds, n = _spec(params, dims, draft, enc, enc_d, [3, 5], 12, k)
+        np.testing.assert_array_equal(got, want)
+        assert rounds >= 1
+
+    def test_with_suppression(self, setup):
+        dims, params, draft, enc, enc_d = setup
+        sup = [7, 8, 9]
+        want = _greedy(params, dims, enc, [3], 10, suppress=sup)
+        got, _, _ = _spec(params, dims, draft, enc, enc_d, [3], 10, 3,
+                          suppress=sup)
+        np.testing.assert_array_equal(got, want)
+        assert not (set(got.tolist()) - {2}) & set(sup)
+
+
+class TestAcceptance:
+    def test_perfect_drafter_cuts_rounds(self, setup):
+        """Drafter == verifier: every proposal accepted -> ~max_new/k rounds."""
+        dims, params, _, enc, _ = setup
+        max_new, k = 12, 4
+        want = _greedy(params, dims, enc, [3, 5], max_new)
+        got, rounds, n = _spec(params, dims, params, enc, enc, [3, 5],
+                               max_new, k)
+        np.testing.assert_array_equal(got, want)
+        assert rounds <= -(-max_new // k) + 1  # ceil + slack
