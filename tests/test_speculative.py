@@ -76,3 +76,33 @@ class TestAcceptance:
                                max_new, k)
         np.testing.assert_array_equal(got, want)
         assert rounds <= -(-max_new // k) + 1  # ceil + slack
+
+
+class TestServingIntegration:
+    def test_lone_request_takes_speculative_path_same_text(self):
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(3)
+        audio = rng.normal(0, 0.1, 2 * 16000).astype(np.float32)
+
+        plain_sess = WhisperSession(
+            params, dims, RuntimeCfg(dtype="float32", max_batch=2))
+        eng = StreamingEngine(plain_sess, cfg=EngineConfig(max_new_tokens=6))
+        try:
+            want = eng.transcribe(audio)
+        finally:
+            eng.close()
+
+        spec_sess = WhisperSession(
+            params, dims, RuntimeCfg(dtype="float32", max_batch=2))
+        spec_sess.set_draft_model(init_params(dims, seed=42), dims)
+        eng2 = StreamingEngine(spec_sess, cfg=EngineConfig(max_new_tokens=6))
+        try:
+            got = eng2.transcribe(audio)
+            assert eng2.stats["speculative"] == 1
+        finally:
+            eng2.close()
+        assert got == want  # lossless through the serving surface

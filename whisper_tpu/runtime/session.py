@@ -459,6 +459,77 @@ class WhisperSession:
                   prompt_arr, base_mask, first_mask)
         return np.asarray(toks)
 
+    # -- speculative decoding (single-stream latency path) -------------------
+
+    def set_draft_model(self, draft_params, draft_dims: WhisperDims) -> None:
+        """Attach a draft model (e.g. a distil decoder) for speculative
+        decoding on batch-1 requests (runtime.speculative)."""
+        from whisper_tpu.models.convert import cast_params
+
+        self._draft = (cast_params(draft_params, self.cfg.jnp_dtype),
+                       draft_dims)
+
+    @property
+    def has_draft(self) -> bool:
+        return getattr(self, "_draft", None) is not None
+
+    def transcribe_short_speculative(
+        self,
+        padded_audio: np.ndarray,     # [1, L] reflect-padded, <=30s
+        n_valid_frames: np.ndarray,   # [1]
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+        draft_k: int = 4,
+    ) -> np.ndarray:
+        """Fused audio->mel->both-encoders->speculative-loop program for one
+        short utterance; requires set_draft_model. Output is token-exact
+        with the plain greedy path (lossless speculation)."""
+        if not self.has_draft:
+            raise RuntimeError("no draft model attached (set_draft_model)")
+        draft_params, draft_dims = self._draft
+        l = padded_audio.shape[1]
+        padded_audio = self._encode_transfer(padded_audio)
+        prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
+        base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
+
+        key = ("spec", l, len(prompt), max_new_tokens, eot_id, draft_k)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+            fused_attn = self.cfg.fused_attention
+            from whisper_tpu.frontend.mel import log_mel_jax
+            from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+            from whisper_tpu.runtime.speculative import speculative_generate
+
+            def run(params, dparams, audio, n_valid, prompt, sup, first_sup):
+                mel = jax.vmap(
+                    lambda a, v: log_mel_jax(
+                        a, v, n_mels=dims.n_mels, n_frames=CHUNK_FRAMES
+                    )
+                )(audio, n_valid)
+                enc = whisper.encoder_apply(params, dims, mel,
+                                            precision=precision,
+                                            fused_attention=fused_attn)
+                enc_d = whisper.encoder_apply(dparams, draft_dims, mel,
+                                              precision=precision)
+                tokens, _, _ = speculative_generate(
+                    params, dims, dparams, draft_dims, enc, enc_d,
+                    prompt, sup, first_sup,
+                    max_new_tokens=max_new_tokens, eot_id=eot_id,
+                    draft_k=draft_k, precision=precision,
+                )
+                return tokens
+
+            self._fns[key] = jax.jit(run)
+        toks = self._fns[key](
+            self.params, draft_params, jnp.asarray(padded_audio),
+            jnp.asarray(n_valid_frames.astype(np.int32)),
+            prompt_arr, base_mask, first_mask,
+        )
+        return np.asarray(toks)
+
     # -- public API ---------------------------------------------------------
 
     def transcribe_chunks(

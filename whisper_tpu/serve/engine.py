@@ -75,7 +75,8 @@ class StreamingEngine:
         if not self.cfg.timestamps:
             self._prompt.append(self._special.no_timestamps)
         self._short_limit = int(self.cfg.chunk_length_s * SAMPLE_RATE)
-        self.stats = {"batches": 0, "batched_requests": 0, "longform": 0}
+        self.stats = {"batches": 0, "batched_requests": 0, "longform": 0,
+                      "speculative": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._running = True
         self._worker.start()
@@ -174,8 +175,33 @@ class StreamingEngine:
                     r.future.set_exception(e)
 
     def _process_short(self, reqs: List[_Request]) -> None:
-        """One fused program over all short requests in this tick."""
+        """One fused program over all short requests in this tick.
+
+        A lone request with a draft model attached takes the speculative
+        path (lossless greedy, fewer full-model steps)."""
         n = len(reqs)
+        if n == 1 and self.session.has_draft:
+            r = reqs[0]
+            padded = golden.reflect_pad(r.audio)
+            pad_len = self._short_limit + 2 * 200
+            audio = np.zeros((1, pad_len), dtype=np.float32)
+            audio[0, : len(padded)] = padded
+            n_valid = np.asarray([golden.num_frames(len(r.audio))], np.int32)
+            tokens = self.session.transcribe_short_speculative(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
+            self.stats["speculative"] += 1
+            gen = strip_generated(tokens[0], self._special.eot)
+            if self.tokenizer is not None:
+                text = self.tokenizer.decode(gen, skip_special_tokens=True)
+            else:
+                text = (f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]"
+                        if gen else "")
+            r.future.set_result(text.strip())
+            return
         bucket = 1
         while bucket < n and bucket < self.session.cfg.max_batch:
             bucket <<= 1

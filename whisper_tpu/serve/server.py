@@ -114,6 +114,11 @@ def main(argv=None) -> int:
     p.add_argument("--language", default="en")
     p.add_argument("--task", default="transcribe")
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--draft-dir", default="",
+                   help="model dir of a draft model (e.g. distil decoder) "
+                        "for lossless speculative decoding of lone requests")
+    p.add_argument("--draft-model-id", default="",
+                   help="registry id for a random-init draft model")
     args = p.parse_args(argv)
 
     import os
@@ -137,6 +142,12 @@ def main(argv=None) -> int:
 
     cfg, _ = apply_variant(RuntimeCfg(), args.variant)
     session = WhisperSession(params, dims, cfg)
+    if args.draft_dir:
+        dparams, ddims = convert.load_params(args.draft_dir)
+        session.set_draft_model(dparams, ddims)
+    elif args.draft_model_id:
+        ddims = get_dims(args.draft_model_id)
+        session.set_draft_model(convert.init_params(ddims, seed=1), ddims)
     tok = resolve_tokenizer("", args.model_dir, args.model_id)
     gen_cfg = load_generation_cfg(
         os.path.join(args.model_dir, "generation_config.json")
