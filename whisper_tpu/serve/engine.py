@@ -122,6 +122,15 @@ class StreamingEngine:
                 suppress_ids=self.gen_cfg.suppress_tokens,
                 begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
             )
+        if self.session.has_draft:
+            # Lone requests take the speculative program — pre-compile it too.
+            audio = np.zeros((1, self._short_limit + 2 * 200), dtype=np.float32)
+            self.session.transcribe_short_speculative(
+                audio, np.asarray([CHUNK_FRAMES], np.int32), self._prompt,
+                self.cfg.max_new_tokens, self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
 
     def close(self) -> None:
         self._running = False
