@@ -4,8 +4,17 @@ long-form fallback, error isolation) and the JSON-lines TCP server."""
 import asyncio
 import base64
 import json
+import os
 import threading
 import time
+
+
+def _free_port() -> int:
+    import socket as _s
+
+    with _s.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return sock.getsockname()[1]
 
 import numpy as np
 import pytest
@@ -96,7 +105,7 @@ class TestServer:
             session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=30),
         )
         eng.warmup(batch=4)
-        port = 18765
+        port = _free_port()
         ready = threading.Event()
         loop_holder = {}
 
@@ -164,7 +173,7 @@ class TestServerStats:
         from whisper_tpu.serve.server import serve
 
         eng = StreamingEngine(session, cfg=EngineConfig(max_new_tokens=2))
-        port = 18777
+        port = _free_port()
         ready = threading.Event()
         holder = {}
 
