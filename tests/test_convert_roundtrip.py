@@ -102,3 +102,23 @@ class TestTurboConfigGeneration:
             zero, zero, max_new_tokens=5, eot_id=2,
         )
         assert toks.shape == (2, 5)
+
+
+class TestOrbaxFormat:
+    def test_orbax_save_load_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from whisper_tpu.models.convert import (
+            init_params,
+            load_params_orbax,
+            save_params_orbax,
+        )
+        from whisper_tpu.models.registry import get_dims
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=7)
+        save_params_orbax(params, dims, str(tmp_path / "m"))
+        loaded, dims2 = load_params_orbax(str(tmp_path / "m"))
+        assert dims2 == dims
+        a = np.asarray(params["decoder"]["tok_emb"])
+        b = np.asarray(loaded["decoder"]["tok_emb"])
+        np.testing.assert_array_equal(a, b)

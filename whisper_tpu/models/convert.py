@@ -270,6 +270,33 @@ def load_params(model_dir: str, dtype=None) -> tuple[Dict, WhisperDims]:
     return params, dims
 
 
+def save_params_orbax(params: Dict, dims: WhisperDims, model_dir: str) -> None:
+    """Alternative on-disk format: an orbax-checkpoint directory (ecosystem
+    interop with JAX training stacks); config.json sidecar as usual."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(model_dir, "orbax"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, params), force=True)
+    with open(os.path.join(model_dir, CONFIG_FILE), "w") as f:
+        json.dump({"whisper_tpu_dims": dims.to_dict(),
+                   "format": "orbax"}, f, indent=2)
+
+
+def load_params_orbax(model_dir: str, dtype=None) -> tuple[Dict, WhisperDims]:
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(model_dir, CONFIG_FILE)) as f:
+        cfg = json.load(f)
+    dims = WhisperDims(**cfg["whisper_tpu_dims"])
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(os.path.abspath(os.path.join(model_dir, "orbax")))
+    if dtype is not None:
+        params = cast_params(params, dtype)
+    return params, dims
+
+
 def convert_hf_model_dir(hf_dir: str, out_dir: str, model_id: str | None = None) -> None:
     """Convert an HF checkpoint directory (model.safetensors +
     config.json) into a framework model dir; copies tokenizer.json and
