@@ -196,6 +196,25 @@ class TestCli:
         assert s["n_files"] == 2
         assert s["config_used"]["intra_op"] == 2
 
+    def test_temperature_fallback_flag(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rtemp"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "4",
+            "--temperatures", "0,1.0",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        assert json.load(open(out / "s.json"))["n_files"] == 1
+
     def test_missing_model_dir_fails(self, audio_dir, tmp_path):
         from whisper_tpu.bench.cli import main
 

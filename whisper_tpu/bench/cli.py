@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
                         "without converted weights)")
+    p.add_argument("--temperatures", default="",
+                   help="comma list (e.g. '0,0.2,0.4,0.6,0.8,1') enabling "
+                        "openai-whisper-style temperature-fallback decoding")
     p.add_argument("--longform-mode", default="chunked",
                    choices=["chunked", "sequential"],
                    help="chunked = reference rust strategy (fixed 30s windows"
@@ -286,6 +289,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             text, _segments, t = transcribe_sequential(
                 session, audio, args.language, args.task,
                 args.max_new_tokens, tokenizer, gen_cfg,
+            )
+        elif args.temperatures:
+            from whisper_tpu.pipeline.fallback import (
+                transcribe_longform_fallback,
+            )
+
+            temps = tuple(float(x) for x in args.temperatures.split(","))
+            text, t, _info = transcribe_longform_fallback(
+                session, audio, args.language, args.task,
+                args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                tokenizer, gen_cfg, temperatures=temps,
             )
         else:
             text, t = transcribe_longform(

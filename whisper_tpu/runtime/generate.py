@@ -53,9 +53,14 @@ def greedy_generate(
     ts_cfg=None,                  # TimestampCfg to enforce timestamp grammar
     int8_cross_kv: bool = False,  # store cross K/V int8 (halves KV streaming)
     step_weights=None,            # pre-fused weights -> hybrid fast step
+    temperature: float = 0.0,     # 0 = greedy argmax; >0 = sampling
+    rng_key=None,                 # required when temperature > 0
+    return_logprobs: bool = False,
     precision=None,
-) -> jax.Array:
-    """Returns generated tokens [B, max_new_tokens] (prompt excluded).
+):
+    """Returns generated tokens [B, max_new_tokens] (prompt excluded) —
+    plus (sum_logprob [B], n_tokens [B]) when return_logprobs is set (the
+    quality signal for temperature-fallback decoding).
 
     Rows finished early are padded with EOT; the host strips the prompt and
     trailing EOT exactly like the reference (src/main.rs:926-943).
@@ -63,6 +68,9 @@ def greedy_generate(
     With ts_cfg set, the Whisper timestamp grammar
     (whisper_tpu.runtime.timestamps) is enforced at every step — real
     timestamp decoding, which the reference lacks (src/main.rs:853-856).
+
+    temperature > 0 samples from softmax(logits / temperature) after
+    suppression/grammar masking (openai-whisper's fallback rungs).
     """
     from whisper_tpu.runtime import timestamps as ts
 
@@ -70,6 +78,25 @@ def greedy_generate(
     p = prompt.shape[0]
     max_len = p + max_new_tokens
     tokens = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
+    if temperature > 0 and rng_key is None:
+        raise ValueError("temperature > 0 requires rng_key")
+
+    def pick(logits_f32, key):
+        """Token choice + its log-probability under the masked distribution.
+        The logprob is only computed when requested (static flag), so the
+        plain greedy path pays nothing for it."""
+        if temperature > 0:
+            tok = jax.random.categorical(
+                key, logits_f32 / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
+        if return_logprobs:
+            logp = jax.nn.log_softmax(logits_f32, axis=-1)
+            lp = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+        else:
+            lp = jnp.zeros(logits_f32.shape[0], jnp.float32)
+        return tok, lp
 
     logits, cache = whisper.decoder_prefill(
         params, dims, tokens, enc_states, max_len, precision=precision,
@@ -80,20 +107,25 @@ def greedy_generate(
     if ts_cfg is not None:
         first_logits = ts.apply_rules(first_logits, ts_state, jnp.int32(0),
                                       ts_cfg)
-    first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    k_first, key0 = jax.random.split(key0)
+    first, first_lp = pick(first_logits, k_first)
     if ts_cfg is not None:
         ts_state = ts.update_state(ts_state, first, ts_cfg)
 
     buf = jnp.full((b, max_new_tokens), eot_id, dtype=jnp.int32)
     buf = buf.at[:, 0].set(first)
     done = first == eot_id
+    sum_lp = first_lp
+    n_tok = jnp.ones((b,), jnp.int32)
 
     def cond(state):
-        i, _, _, done, _, _ = state
+        i = state[0]
+        done = state[3]
         return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        i, buf, last, done, cache, ts_state = state
+        i, buf, last, done, cache, ts_state, key, sum_lp, n_tok = state
         # `last` was generated as token index p+i-1 in the full sequence.
         if step_weights is not None:
             from whisper_tpu.ops.decoder_kernels import decoder_step_hybrid
@@ -110,17 +142,23 @@ def greedy_generate(
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:
             step_logits = ts.apply_rules(step_logits, ts_state, i, ts_cfg)
-        nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        k_step, key = jax.random.split(key)
+        nxt, lp = pick(step_logits, k_step)
         nxt = jnp.where(done, eot_id, nxt)
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+        n_tok = n_tok + jnp.where(done, 0, 1)
         if ts_cfg is not None:
             ts_state = ts.update_state(ts_state, nxt, ts_cfg)
         buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, i))
         done = jnp.logical_or(done, nxt == eot_id)
-        return i + 1, buf, nxt, done, cache, ts_state
+        return i + 1, buf, nxt, done, cache, ts_state, key, sum_lp, n_tok
 
-    _, buf, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), buf, first, done, cache, ts_state)
+    _, buf, _, _, _, _, _, sum_lp, n_tok = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(1), buf, first, done, cache, ts_state, key0, sum_lp, n_tok),
     )
+    if return_logprobs:
+        return buf, sum_lp, n_tok
     return buf
 
 

@@ -315,19 +315,21 @@ class WhisperSession:
 
     def _get_mel_fn(self, n_frames: int, batch: int, prompt_len: int,
                     max_new: int, eot_id: int, num_beams: int = 1,
-                    length_penalty: float = 1.0, ts_cfg=None):
+                    length_penalty: float = 1.0, ts_cfg=None,
+                    temperature: float = 0.0, with_scores: bool = False):
         """Compiled program: device mel [n_mels, F] + frame starts [B] ->
         generated tokens [B, max_new].  Chunk extraction (zero-padded
         3000-frame windows, ref src/main.rs:899-905) runs on device.
         num_beams > 1 switches the token loop to on-device beam search."""
         key = ("mel", n_frames, batch, prompt_len, max_new, eot_id,
-               num_beams, length_penalty, ts_cfg)
+               num_beams, length_penalty, ts_cfg, temperature, with_scores)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
-            def run(params, sw, mel, starts, prompt, suppress, first_suppress):
+            def run(params, sw, mel, starts, prompt, suppress,
+                    first_suppress, rng):
                 mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
                 chunks = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(
@@ -354,6 +356,8 @@ class WhisperSession:
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     step_weights=sw,
+                    temperature=temperature, rng_key=rng,
+                    return_logprobs=with_scores,
                     precision=precision,
                 )
 
@@ -372,16 +376,23 @@ class WhisperSession:
         num_beams: int = 1,
         length_penalty: float = 1.0,
         ts_cfg=None,
-    ) -> np.ndarray:
+        temperature: float = 0.0,
+        seed: int = 0,
+        with_scores: bool = False,
+    ):
         """Transcribe chunks sliced (on device) from a whole-file mel.
 
-        Returns generated tokens [len(frame_starts), max_new_tokens]."""
+        Returns generated tokens [len(frame_starts), max_new_tokens]; with
+        with_scores also (sum_logprob, n_tokens) per chunk — the quality
+        signal for temperature-fallback decoding."""
         c = len(frame_starts)
         n_frames = mel.shape[1]
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
 
         out = np.empty((c, max_new_tokens), dtype=np.int32)
+        sum_lp = np.zeros(c, dtype=np.float32)
+        n_tok = np.zeros(c, dtype=np.int32)
         cap = self.cfg.max_batch
         start = 0
         while start < c:
@@ -393,12 +404,22 @@ class WhisperSession:
                                     dtype=np.int32)
             fn = self._get_mel_fn(n_frames, bucket, len(prompt),
                                   max_new_tokens, eot_id, num_beams,
-                                  length_penalty, ts_cfg)
-            toks = fn(self.params, self._step_weights, mel,
-                      self._put_batch(jnp.asarray(starts)),
-                      prompt_arr, base_mask, first_mask)
+                                  length_penalty, ts_cfg, temperature,
+                                  with_scores)
+            rng = jax.random.PRNGKey(seed * 100003 + start)
+            result = fn(self.params, self._step_weights, mel,
+                        self._put_batch(jnp.asarray(starts)),
+                        prompt_arr, base_mask, first_mask, rng)
+            if with_scores:
+                toks, lp, nt = result
+                sum_lp[start : start + n] = np.asarray(lp)[:n]
+                n_tok[start : start + n] = np.asarray(nt)[:n]
+            else:
+                toks = result
             out[start : start + n] = np.asarray(toks)[:n]
             start += n
+        if with_scores:
+            return out, sum_lp, n_tok
         return out
 
     # -- short-utterance batch (serving fast path) --------------------------
