@@ -289,3 +289,46 @@ class TestCli:
         cfg = json.load(open(out / "s.json"))["config_used"]
         assert cfg["dtype"] == "bfloat16"
         assert cfg["max_batch"] == 2
+
+    def test_language_auto_flag(self, model_dir, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rauto"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "3",
+            "--language", "auto",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        s = json.load(open(out / "s.json"))
+        assert s["language"] == "auto"
+
+    def test_beam_with_timestamps(self, model_dir, audio_dir, tmp_path):
+        """Beam search + timestamp grammar through the full CLI surface."""
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rbts"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "6",
+            "--num-beams", "2",
+            "--timestamps",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        jrows = json.load(open(out / "j.json"))
+        # grammar forces timestamps even under beam search
+        assert "<|" in jrows[0]["text"]
