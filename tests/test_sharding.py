@@ -111,3 +111,34 @@ class TestSessionMesh:
         )
         sh = sess.params["decoder"]["blocks"]["fc1_w"].sharding
         assert sh.spec == P(None, None, "model")
+
+
+def test_tp4_dp2_session_matches_single_device():
+    """4-way tensor parallel x 2-way data parallel on the virtual mesh
+    (heads=4 turbo-style config) must reproduce single-device outputs."""
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import WhisperDims
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = WhisperDims(
+        n_mels=80, d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, vocab_size=128,
+        max_source_positions=1500, max_target_positions=16,
+    )
+    params = init_params(dims, seed=9)
+    rng = np.random.default_rng(0)
+    mel_chunks = np.zeros((2, 80, 3000), dtype=np.float32)
+    mel_chunks[:, :, :256] = rng.normal(0, 1, (2, 80, 256)).astype(np.float32)
+
+    plain = WhisperSession(params, dims,
+                           RuntimeCfg(dtype="float32", max_batch=2))
+    want = plain.transcribe_chunks(mel_chunks, prompt=[3], max_new_tokens=4,
+                                   eot_id=2)
+    sharded = WhisperSession(
+        params, dims,
+        RuntimeCfg(dtype="float32", max_batch=2,
+                   data_parallel=2, tensor_parallel=4),
+    )
+    got = sharded.transcribe_chunks(mel_chunks, prompt=[3], max_new_tokens=4,
+                                    eot_id=2)
+    np.testing.assert_array_equal(got, want)
