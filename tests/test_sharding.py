@@ -19,6 +19,39 @@ def test_dryrun_multichip_1():
     ge.dryrun_multichip(1)
 
 
+def test_dryrun_multichip_driver_invocation():
+    """Replicate the driver's call: fresh python, no conftest env pins.
+
+    dryrun_multichip must self-provision the virtual CPU mesh even when the
+    parent process has a single (TPU) device — MULTICHIP_r01 failed exactly
+    here (VERDICT.md 'What's weak' #1).
+    """
+    import os
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("WHISPER_TPU_DRYRUN_CHILD", None)
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(4)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+
 def test_param_shardings_rules():
     from whisper_tpu.models.convert import init_params
     from whisper_tpu.models.registry import get_dims
