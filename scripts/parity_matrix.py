@@ -1,0 +1,206 @@
+"""Variant parity matrix at real whisper-base dimensions.
+
+Runs the full pipeline (audio -> mel -> encoder -> on-device greedy -> ids)
+through every optimization-ladder variant x0..x4 and records token agreement
+against the x0 fp32-parity rung and (optionally) against the transformers
+torch oracle — the strongest available accuracy evidence while real weights
+are unreachable (docs/REAL_WEIGHTS.md). The reference establishes the same
+contract operationally by diffing SUT transcripts (SURVEY.md §4,
+ref src/main.rs:1208-1212).
+
+Usage: python scripts/parity_matrix.py [--out docs/PARITY_MATRIX.md]
+       [--torch] [--max-new 16] [--model-id openai/whisper-base]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SOT, EN, TRANSCRIBE, NOTS, EOT = 50258, 50259, 50359, 50363, 50257
+VARIANTS = ["x0", "x1", "x2", "x3", "x4"]
+
+
+def synth_audio_30s() -> np.ndarray:
+    rng = np.random.default_rng(7)
+    t = np.linspace(0.0, 30.0, 30 * 16000, endpoint=False)
+    sig = (
+        0.30 * np.sin(2 * np.pi * 220.0 * t)
+        * (0.5 + 0.5 * np.sin(2 * np.pi * 0.7 * t))
+        + 0.20 * np.sin(2 * np.pi * 523.25 * t + 1.0)
+        + 0.05 * rng.normal(0.0, 1.0, t.shape)
+    )
+    return sig.astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/PARITY_MATRIX.md")
+    ap.add_argument("--torch", action="store_true",
+                    help="also compare vs the transformers torch oracle "
+                         "(shares the same random weights)")
+    ap.add_argument("--max-new", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="suppression rounds (distinct argmax decisions)")
+    ap.add_argument("--model-id", default="openai/whisper-base")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.frontend.mel import log_mel
+    from whisper_tpu.models import convert
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.pipeline.longform import compute_mel_full
+    from whisper_tpu.runtime.generate import strip_generated
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.variants.ladder import apply_variant
+
+    dims = get_dims(args.model_id)
+    audio = synth_audio_30s()
+
+    torch_chain = None
+    hf_model = None
+    if args.torch:
+        import torch
+        import transformers
+        from transformers.modeling_outputs import BaseModelOutput
+
+        cfg_hf = transformers.WhisperConfig(
+            vocab_size=dims.vocab_size, num_mel_bins=dims.n_mels,
+            d_model=dims.d_model, encoder_layers=dims.encoder_layers,
+            encoder_attention_heads=dims.encoder_heads,
+            decoder_layers=dims.decoder_layers,
+            decoder_attention_heads=dims.decoder_heads,
+            encoder_ffn_dim=dims.d_ffn, decoder_ffn_dim=dims.d_ffn,
+            max_source_positions=dims.max_source_positions,
+            max_target_positions=dims.max_target_positions,
+        )
+        torch.manual_seed(42)
+        hf_model = transformers.WhisperForConditionalGeneration(cfg_hf).eval()
+        params0 = convert.params_from_hf_state_dict(
+            hf_model.state_dict(), dims
+        )
+        params0 = convert.cast_params(params0, jnp.float32)
+
+        fe = transformers.WhisperFeatureExtractor()
+        feats = fe(audio, sampling_rate=16000, return_tensors="np")[
+            "input_features"
+        ]
+        with torch.no_grad():
+            enc = hf_model.model.encoder(
+                input_features=torch.from_numpy(feats)
+            ).last_hidden_state
+        # Suppression rounds: random-weight greedy collapses to a one-token
+        # attractor; suppressing earlier rounds' tokens forces a distinct
+        # argmax decision per round (see tests/test_fullscale_parity.py).
+        torch_chain, sup = [], set()
+        for _ in range(args.rounds):
+            seq = torch.tensor([[SOT, EN, TRANSCRIBE, NOTS]],
+                               dtype=torch.int64)
+            chain = []
+            for _ in range(args.max_new):
+                with torch.no_grad():
+                    lg = hf_model(
+                        encoder_outputs=BaseModelOutput(
+                            last_hidden_state=enc),
+                        decoder_input_ids=seq,
+                    ).logits[0, -1]
+                if sup:
+                    lg[list(sup)] = float("-inf")
+                tok = int(lg.argmax())
+                if tok == EOT:
+                    break
+                chain.append(tok)
+                seq = torch.cat([seq, torch.tensor([[tok]])], dim=1)
+            torch_chain.append(chain)
+            sup.update(chain)
+    else:
+        params0 = convert.init_params(dims, seed=0)
+
+    rows = []
+    chains: dict[str, list[list[int]]] = {}
+    for name in VARIANTS:
+        cfg, spec = apply_variant(RuntimeCfg(max_batch=1), name)
+        sess = WhisperSession(params0, dims, cfg)
+        t0 = time.perf_counter()
+        mel, n_valid = compute_mel_full(sess, audio)
+        rounds, sup = [], set()
+        for _ in range(args.rounds):
+            toks = sess.transcribe_chunks(
+                mel[None, :, :3000],
+                prompt=[SOT, EN, TRANSCRIBE, NOTS],
+                max_new_tokens=args.max_new, eot_id=EOT,
+                suppress_ids=sorted(sup),
+            )
+            chain = strip_generated(np.asarray(toks)[0], EOT)
+            rounds.append(chain)
+            sup.update(chain)
+        dt = time.perf_counter() - t0
+        chains[name] = rounds
+        rows.append((name, spec.description, rounds, dt))
+        print(f"{name}: {[len(c) for c in rounds]} tokens in {dt:.1f}s  "
+              f"{rounds}", flush=True)
+
+    def prefix_match(a: list[list[int]], b: list[list[int]]) -> int:
+        n = 0
+        for ra, rb in zip(a, b):
+            for x, y in zip(ra, rb):
+                if x != y:
+                    return n
+                n += 1
+            if len(ra) != len(rb):
+                return n
+        return n
+
+    backend = jax.default_backend()
+    lines = [
+        "# Variant parity matrix (random whisper-base weights)",
+        "",
+        f"Model: {args.model_id} dims, random-init (real weights unreachable"
+        " — see REAL_WEIGHTS.md). Input: 30.0 s deterministic synthetic"
+        f" audio. Greedy, max_new={args.max_new}, {args.rounds} suppression"
+        " rounds (each round suppresses all earlier rounds' tokens, forcing"
+        " a distinct argmax decision per round), prompt"
+        " [sot,en,transcribe,notimestamps]. Produced by"
+        f" scripts/parity_matrix.py on backend `{backend}`.",
+        "",
+        "| variant | description | tokens/round | == x0 | prefix vs x0 |"
+        + (" == torch | prefix vs torch |" if torch_chain is not None else ""),
+        "|---|---|---|---|---|"
+        + ("---|---|" if torch_chain is not None else ""),
+    ]
+    x0 = chains["x0"]
+    n_x0 = sum(len(c) for c in x0)
+    for name, desc, rounds_c, dt in rows:
+        row = (
+            f"| {name} | {desc} | {[len(c) for c in rounds_c]} "
+            f"| {'yes' if rounds_c == x0 else 'no'} "
+            f"| {prefix_match(rounds_c, x0)}/{n_x0} |"
+        )
+        if torch_chain is not None:
+            n_t = sum(len(c) for c in torch_chain)
+            row += (
+                f" {'yes' if rounds_c == torch_chain else 'no'} "
+                f"| {prefix_match(rounds_c, torch_chain)}/{n_t} |"
+            )
+        lines.append(row)
+    if torch_chain is not None:
+        lines += ["", "torch oracle chains: " f"`{torch_chain}`"]
+    lines += ["", f"x0 chains: `{x0}`", ""]
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
