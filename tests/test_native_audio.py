@@ -78,6 +78,56 @@ class TestNativeDecoder:
         with pytest.raises(RuntimeError):
             native.decode_mono("/does/not/exist.wav")
 
+    def test_malformed_file_corpus(self, native, tmp_path):
+        """Untrusted-input corpus: every malformed file must produce a clean
+        RuntimeError, never a crash. Run under ASan/UBSan via
+        `make -C whisper_tpu/native check` (SURVEY.md §5.2)."""
+        rng = np.random.default_rng(5)
+        good = np.clip(
+            rng.normal(0, 0.3, 4000) * 32768.0, -32768, 32767
+        ).astype("<i2").tobytes()
+        good_hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(good), b"WAVE", b"fmt ", 16, 1, 1, 16000,
+            32000, 2, 16, b"data", len(good),
+        )
+        corpus = {
+            "empty.wav": b"",
+            "just_magic.wav": b"RIFF",
+            "truncated_header.wav": good_hdr[:20],
+            "header_no_data.wav": good_hdr,
+            "truncated_data.wav": good_hdr + good[:7],
+            "garbage.wav": rng.bytes(4096),
+            "riff_garbage.wav": b"RIFF" + rng.bytes(4096),
+            "huge_declared_size.wav": struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 0xFFFFFFF0, b"WAVE", b"fmt ", 16, 1, 1, 16000,
+                32000, 2, 16, b"data", 0xFFFFFF00,
+            ) + good[:64],
+            "zero_channels.wav": struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(good), b"WAVE", b"fmt ", 16, 1, 0, 16000,
+                0, 0, 16, b"data", len(good),
+            ) + good,
+            "zero_rate.wav": struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(good), b"WAVE", b"fmt ", 16, 1, 1, 0,
+                0, 2, 16, b"data", len(good),
+            ) + good,
+            "garbage.mp3": rng.bytes(2048),
+            "garbage.flac": b"fLaC" + rng.bytes(2048),
+        }
+        for name, blob in corpus.items():
+            p = tmp_path / name
+            p.write_bytes(blob)
+            try:
+                mono, sr = native.decode_mono(str(p))
+            except RuntimeError:
+                continue  # clean rejection is the expected outcome
+            # Some demuxers salvage partial/odd streams; that's fine as long
+            # as the result is well-formed.
+            assert sr >= 0 and mono.ndim == 1, name
+
     def test_io_facade_prefers_native(self, native, tmp_path):
         import whisper_tpu.audio.io as aio
 

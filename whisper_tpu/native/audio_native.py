@@ -20,6 +20,11 @@ _load_attempted = False
 
 
 def _lib_path() -> str:
+    # WHISPER_TPU_AUDIO_LIB overrides the default so `make check` can point
+    # the test suite at the ASan/UBSan-instrumented build.
+    override = os.environ.get("WHISPER_TPU_AUDIO_LIB")
+    if override:
+        return override
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), _LIB_NAME)
 
 
