@@ -211,8 +211,11 @@ def _decoder_blocks(
     dims: WhisperDims,
     x: jax.Array,            # [B, S, d]
     cache: KVCache,
-    pos: jax.Array,          # scalar int32: index of x[:, 0] in the sequence
-    self_mask,               # [S, S_max] validity mask or None
+    pos: jax.Array,          # int32: index of x[:, 0] in the sequence —
+                             # scalar (all rows aligned) or [B] per-row
+                             # (batched speculative decoding, where rows
+                             # accept different draft lengths)
+    self_mask,               # [S, S_max] (or [B, 1, S, S_max]) mask or None
     precision,
 ):
     """Run all decoder blocks via scan, updating the self-attn cache at
@@ -228,8 +231,17 @@ def _decoder_blocks(
         q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
         k = _split_heads(_dense(r, p["k_w"], None, precision), h)
         v = _split_heads(_dense(r, p["v_w"], p["v_b"], precision), h)
-        sk = jax.lax.dynamic_update_slice(sk, k, (0, 0, pos, 0))
-        sv = jax.lax.dynamic_update_slice(sv, v, (0, 0, pos, 0))
+        if pos.ndim == 0:
+            sk = jax.lax.dynamic_update_slice(sk, k, (0, 0, pos, 0))
+            sv = jax.lax.dynamic_update_slice(sv, v, (0, 0, pos, 0))
+        else:
+            # Per-row write offsets (vmapped dynamic_update_slice lowers
+            # to one scatter over the batch axis).
+            row_dus = jax.vmap(
+                lambda c, u, st: jax.lax.dynamic_update_slice(c, u, (0, st, 0))
+            )
+            sk = row_dus(sk, k, pos)
+            sv = row_dus(sv, v, pos)
         o = _attend(q, sk, sv, self_mask, precision)
         x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
 
@@ -307,13 +319,19 @@ def decoder_prefill(
     *,
     precision=None,
     int8_cross_kv: bool = False,
+    prompt_mask: Optional[jax.Array] = None,  # [B, P] bool; False = left pad
 ) -> tuple[jax.Array, KVCache]:
     """Full-prompt decoder pass; returns logits [B, P, V] and a cache whose
     self-KV holds positions [0, P) and whose cross-KV is final.
 
     int8_cross_kv stores the cross K/V int8 with per-head scales (the
     prefill itself attends through the same int8 path so prefill and steps
-    see identical cross values)."""
+    see identical cross values).
+
+    prompt_mask supports LEFT-padded fixed-size prompts (previous-text
+    conditioning with a static shape): padded slots get position id 0, are
+    never attended, and real tokens take position ids counted over real
+    slots only — numerically identical to an unpadded shorter prompt."""
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
     b, p = tokens.shape
@@ -352,7 +370,7 @@ def decoder_step(
     params: Params,
     dims: WhisperDims,
     token: jax.Array,         # [B] int32
-    pos: jax.Array,           # scalar int32: position of this token
+    pos: jax.Array,           # int32 position of this token: scalar or [B]
     cache: KVCache,
     *,
     precision=None,
@@ -360,16 +378,23 @@ def decoder_step(
     """One-token decoder pass against the static cache; logits [B, V].
 
     The on-device replacement for the reference's per-token
-    decoder_with_past IoBinding run (src/main.rs:793-827).
+    decoder_with_past IoBinding run (src/main.rs:793-827). A vector `pos`
+    gives each row its own position (batched speculative decoding).
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
-    x = dec["tok_emb"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(
-        dec["pos_embed"], pos, 1, axis=0
-    ).astype(dtype)
-
     max_len = cache.self_k.shape[3]
-    mask = (jnp.arange(max_len) <= pos)[None, :]  # [1, S_max]
+    if pos.ndim == 0:
+        pos_emb = jax.lax.dynamic_slice_in_dim(
+            dec["pos_embed"], pos, 1, axis=0
+        ).astype(dtype)                                   # [1, d]
+        mask = (jnp.arange(max_len) <= pos)[None, :]      # [1, S_max]
+    else:
+        pos_emb = dec["pos_embed"][pos].astype(dtype)[:, None, :]  # [B, 1, d]
+        mask = (
+            jnp.arange(max_len)[None, :] <= pos[:, None]
+        )[:, None, None, :]                               # [B, 1, 1, S_max]
+    x = dec["tok_emb"][token][:, None, :] + pos_emb
 
     x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision)
     return _logits(params, x, precision)[:, 0, :], cache

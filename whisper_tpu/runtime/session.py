@@ -484,7 +484,8 @@ class WhisperSession:
 
     def set_draft_model(self, draft_params, draft_dims: WhisperDims) -> None:
         """Attach a draft model (e.g. a distil decoder) for speculative
-        decoding on batch-1 requests (runtime.speculative)."""
+        decoding of short requests at any batch size (runtime.speculative;
+        per-row cache positions let rows accept different draft lengths)."""
         from whisper_tpu.models.convert import cast_params
 
         self._draft = (cast_params(draft_params, self.cfg.jnp_dtype),
@@ -496,8 +497,8 @@ class WhisperSession:
 
     def transcribe_short_speculative(
         self,
-        padded_audio: np.ndarray,     # [1, L] reflect-padded, <=30s
-        n_valid_frames: np.ndarray,   # [1]
+        padded_audio: np.ndarray,     # [B, L] reflect-padded, <=30s
+        n_valid_frames: np.ndarray,   # [B]
         prompt: Sequence[int],
         max_new_tokens: int,
         eot_id: int,
@@ -505,9 +506,9 @@ class WhisperSession:
         begin_suppress_ids: Sequence[int] | None = None,
         draft_k: int = 4,
     ) -> np.ndarray:
-        """Fused audio->mel->both-encoders->speculative-loop program for one
-        short utterance; requires set_draft_model. Output is token-exact
-        with the plain greedy path (lossless speculation)."""
+        """Fused audio->mel->both-encoders->speculative-loop program over a
+        batch of short utterances; requires set_draft_model. Output is
+        token-exact with the plain greedy path (lossless speculation)."""
         if not self.has_draft:
             raise RuntimeError("no draft model attached (set_draft_model)")
         draft_params, draft_dims = self._draft

@@ -14,9 +14,12 @@ is position-bounded (``k_idx <= pos``), so stale entries beyond the
 accepted position are never attended and get overwritten when real tokens
 reach those positions.
 
-Scope: batch size 1 (the latency-serving case speculative decoding exists
-for). Per-row acceptance lengths diverge across a batch, which would need
-per-row cache positions; that is future work.
+Batching: rows accept different draft lengths per round, so every decoder
+pass runs at **per-row positions** — a ``pos`` vector flows into
+``decoder_step`` / ``_decoder_blocks``, whose cache writes become per-row
+scatters (models/whisper.py). Rows that finish early are frozen: their
+commits are masked out and they pad with EOT while the rest of the batch
+keeps speculating.
 """
 
 from __future__ import annotations
@@ -29,19 +32,20 @@ from whisper_tpu.models.registry import WhisperDims
 
 
 def _verify_pass(params, dims, tokens, pos, cache, precision):
-    """Multi-token decoder pass: tokens [1, K] at positions [pos, pos+K);
-    returns logits [1, K, V] and the updated cache (the reuse of
-    decoder_prefill's blocks with an offset causal mask)."""
+    """Multi-token decoder pass: tokens [B, K] at per-row positions
+    [pos_r, pos_r+K); returns logits [B, K, V] and the updated cache (the
+    reuse of decoder_prefill's blocks with per-row offset causal masks)."""
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
-    k = tokens.shape[1]
-    pos_emb = jax.lax.dynamic_slice_in_dim(dec["pos_embed"], pos, k, axis=0)
-    x = dec["tok_emb"][tokens] + pos_emb.astype(dtype)[None]
+    b, k = tokens.shape
+    # Per-row position embeddings: row r uses positions pos_r .. pos_r+K-1.
+    pos_idx = pos[:, None] + jnp.arange(k)[None, :]            # [B, K]
+    x = dec["tok_emb"][tokens] + dec["pos_embed"][pos_idx].astype(dtype)
 
     max_len = cache.self_k.shape[3]
-    q_idx = jnp.arange(k)[:, None]
-    k_idx = jnp.arange(max_len)[None, :]
-    mask = k_idx <= (pos + q_idx)  # causal at offset
+    q_idx = jnp.arange(k)[None, :, None]                       # [1, K, 1]
+    k_idx = jnp.arange(max_len)[None, None, :]                 # [1, 1, S]
+    mask = (k_idx <= (pos[:, None, None] + q_idx))[:, None]    # [B,1,K,S]
 
     x, cache = whisper._decoder_blocks(
         params, dims, x, cache, pos, mask, precision
@@ -54,9 +58,9 @@ def speculative_generate(
     dims: WhisperDims,
     draft_params,
     draft_dims: WhisperDims,
-    enc_states: jax.Array,        # [1, T_enc, d] main-model encoder states
-    draft_enc_states: jax.Array,  # [1, T_enc_d, d_d] drafter's encoder states
-    prompt: jax.Array,            # [P] int32
+    enc_states: jax.Array,        # [B, T_enc, d] main-model encoder states
+    draft_enc_states: jax.Array,  # [B, T_enc_d, d_d] drafter's encoder states
+    prompt: jax.Array,            # [P] int32 — same prompt for every row
     suppress_mask: jax.Array,
     first_suppress_mask: jax.Array,
     max_new_tokens: int,
@@ -65,42 +69,43 @@ def speculative_generate(
     *,
     precision=None,
 ):
-    """Returns (tokens [1, max_new_tokens], n_rounds, n_committed).
+    """Returns (tokens [B, max_new_tokens], n_rounds, n_committed [B]).
 
     n_rounds counts verifier passes — with a good drafter,
     n_committed / n_rounds approaches draft_k + 1 tokens per full-model
     pass; with a useless drafter it degrades to ~1 (never below plain
     greedy correctness)."""
-    assert enc_states.shape[0] == 1, "speculative decoding is batch-1"
+    b = enc_states.shape[0]
     p = prompt.shape[0]
     # + draft_k slack: the last verify round may overrun before masking.
     max_len = p + max_new_tokens + draft_k
-    tokens_p = prompt[None, :].astype(jnp.int32)
+    tokens_p = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
 
     logits, cache = whisper.decoder_prefill(
         params, dims, tokens_p, enc_states, max_len, precision=precision
     )
     first = jnp.argmax(
         logits[:, -1, :].astype(jnp.float32) + first_suppress_mask, axis=-1
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)  # [B]
 
     d_logits, d_cache = whisper.decoder_prefill(
         draft_params, draft_dims, tokens_p, draft_enc_states, max_len,
         precision=precision,
     )
 
-    buf = jnp.full((1, max_new_tokens + draft_k), eot_id, dtype=jnp.int32)
+    buf = jnp.full((b, max_new_tokens + draft_k), eot_id, dtype=jnp.int32)
     buf = buf.at[:, 0].set(first)
+    ar_k = jnp.arange(draft_k)[None, :]  # [1, K]
 
     def cond(state):
-        n_gen, _, _, done, *_ = state
-        return jnp.logical_and(n_gen < max_new_tokens, ~done)
+        _, _, _, done, *_ = state
+        return ~jnp.all(done)
 
     def body(state):
         n_gen, buf, last, done, cache, d_cache, rounds = state
-        pos = p + n_gen - 1  # position of `last` in the full sequence
+        pos = p + n_gen - 1  # [B] position of each row's `last` token
 
-        # --- drafter proposes draft_k tokens ---
+        # --- drafter proposes draft_k tokens per row ---
         def draft_step(i, carry):
             d_last, d_cache, drafts = carry
             lg, d_cache = whisper.decoder_step(
@@ -109,57 +114,68 @@ def speculative_generate(
             )
             nxt = jnp.argmax(
                 lg.astype(jnp.float32) + suppress_mask, axis=-1
-            ).astype(jnp.int32)
-            drafts = drafts.at[i].set(nxt[0])
+            ).astype(jnp.int32)  # [B]
+            drafts = drafts.at[:, i].set(nxt)
             return nxt, d_cache, drafts
 
-        drafts0 = jnp.zeros((draft_k,), dtype=jnp.int32)
+        drafts0 = jnp.zeros((b, draft_k), dtype=jnp.int32)
         _, d_cache, drafts = jax.lax.fori_loop(
             0, draft_k, draft_step, (last, d_cache, drafts0)
         )
 
-        # --- verifier checks [last, d1..d_{k-1}] in one pass ---
+        # --- verifier checks [last, d1..d_{k-1}] in one pass per row ---
         verify_in = jnp.concatenate(
-            [last[None, :], drafts[None, :-1]], axis=1
-        )  # [1, K]
+            [last[:, None], drafts[:, :-1]], axis=1
+        )  # [B, K]
         v_logits, cache = _verify_pass(
             params, dims, verify_in, pos, cache, precision
         )
         targets = jnp.argmax(
             v_logits.astype(jnp.float32) + suppress_mask[None, None, :],
             axis=-1,
-        ).astype(jnp.int32)[0]  # [K] greedy targets after each input token
+        ).astype(jnp.int32)  # [B, K] greedy targets after each input token
 
-        # Longest accepted prefix: drafts[i] == targets[i].
-        matches = drafts == targets
+        # Longest accepted prefix per row: drafts[r, i] == targets[r, i].
+        matches = (drafts == targets).astype(jnp.int32)       # [B, K]
         n_accept = jnp.argmin(
-            jnp.concatenate([matches.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
-        )
+            jnp.concatenate([matches, jnp.zeros((b, 1), jnp.int32)], axis=1),
+            axis=1,
+        )  # [B]
         # Commit drafts[:n_accept] then the verifier's token at the mismatch
         # (or the bonus token when everything matched) => n_accept+1 tokens.
         commit = jnp.where(
-            jnp.arange(draft_k) < n_accept, drafts,
-            jnp.where(jnp.arange(draft_k) == n_accept, targets, eot_id),
-        )
+            ar_k < n_accept[:, None], drafts,
+            jnp.where(ar_k == n_accept[:, None], targets, eot_id),
+        )  # [B, K]
         n_commit = jnp.minimum(n_accept + 1, draft_k)
+        n_commit = jnp.where(done, 0, n_commit)  # frozen rows commit nothing
 
-        buf = jax.lax.dynamic_update_slice(buf, commit[None, :], (0, n_gen))
-        # EOT inside the committed prefix ends generation.
+        write = jax.vmap(
+            lambda row, c, at: jax.lax.dynamic_update_slice(row, c, (at,))
+        )(buf, commit, n_gen)
+        buf = jnp.where(done[:, None], buf, write)
+
         committed_eot = jnp.any(
-            (jnp.arange(draft_k) < n_commit) & (commit == eot_id)
+            (ar_k < n_commit[:, None]) & (commit == eot_id), axis=1
         )
-        last = jax.lax.dynamic_slice(commit, (n_commit - 1,), (1,))
+        last_new = jnp.take_along_axis(
+            commit, jnp.maximum(n_commit - 1, 0)[:, None], axis=1
+        )[:, 0]
+        last = jnp.where(done, last, last_new)
         n_gen = n_gen + n_commit
-        done = jnp.logical_or(committed_eot, n_gen >= max_new_tokens)
+        done = jnp.logical_or(
+            done, jnp.logical_or(committed_eot, n_gen >= max_new_tokens)
+        )
         return n_gen, buf, last, done, cache, d_cache, rounds + 1
 
-    done0 = first[0] == eot_id
+    done0 = first == eot_id
     n_gen, buf, _, _, _, _, rounds = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(1), buf, first, done0, cache, d_cache, jnp.int32(0)),
+        (jnp.ones((b,), jnp.int32), buf, first, done0, cache, d_cache,
+         jnp.int32(0)),
     )
 
     # Positions never committed (incl. overrun slack) become EOT.
-    valid = jnp.arange(max_new_tokens + draft_k) < n_gen
-    buf = jnp.where(valid[None, :], buf, eot_id)[:, :max_new_tokens]
+    valid = jnp.arange(max_new_tokens + draft_k)[None, :] < n_gen[:, None]
+    buf = jnp.where(valid, buf, eot_id)[:, :max_new_tokens]
     return buf, rounds, n_gen

@@ -4,13 +4,16 @@ The TPU answer to BASELINE.json config 5 ("faster-whisper-style continuous
 decode across concurrent streams") — a capability the reference only lists
 as future work (PLAN.md streaming-server ambition):
 
-- concurrent requests land in a queue; a single device worker drains it;
+- concurrent requests land in per-lane queues drained by two workers;
 - short utterances (<= chunk length, the streaming case) from DIFFERENT
   streams are merged into one fused audio->mel->encode->decode program
   (session.transcribe_short_batch) per scheduling tick, padded to a
   power-of-two bucket;
-- long requests fall back to the long-form pipeline (still chunk-batched
-  within the request);
+- long requests run on a SEPARATE lane (their own worker thread) through
+  the long-form pipeline (still chunk-batched within the request), so a
+  long file never head-of-line-blocks queued short streams: the long-form
+  pipeline issues one bounded program per chunk bucket, and the device
+  interleaves the short lane's programs between them;
 - a small batching window lets concurrent arrivals coalesce without
   adding tail latency when the queue is empty.
 
@@ -68,6 +71,7 @@ class StreamingEngine:
         self.cfg = cfg or EngineConfig()
         self.gen_cfg = gen_cfg or GenerationCfg()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._long_queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._special = special_tokens(self.cfg.language, self.cfg.task,
                                        tokenizer)
         self._prompt = [self._special.sot, self._special.lang,
@@ -77,9 +81,12 @@ class StreamingEngine:
         self._short_limit = int(self.cfg.chunk_length_s * SAMPLE_RATE)
         self.stats = {"batches": 0, "batched_requests": 0, "longform": 0,
                       "speculative": 0}
-        self._worker = threading.Thread(target=self._run, daemon=True)
         self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._long_worker = threading.Thread(target=self._run_long,
+                                             daemon=True)
+        self._long_worker.start()
 
     # -- public API ---------------------------------------------------------
 
@@ -92,9 +99,15 @@ class StreamingEngine:
             # Reference behavior: empty audio is an error (src/main.rs:414-416).
             fut.set_exception(ValueError("Empty audio"))
             return fut
-        self._queue.put(_Request(
+        req = _Request(
             audio=audio, future=fut, enqueued_at=time.perf_counter(),
-        ))
+        )
+        # Lane routing at admission: long-form work never sits in front of
+        # short streams (VERDICT r1: head-of-line blocking).
+        if len(audio) > self._short_limit:
+            self._long_queue.put(req)
+        else:
+            self._queue.put(req)
         return fut
 
     def transcribe(self, audio_16k: np.ndarray, timeout: float = 300.0) -> str:
@@ -116,26 +129,28 @@ class StreamingEngine:
                 (n, self._short_limit + 2 * 200), dtype=np.float32
             )
             n_valid = np.full(n, CHUNK_FRAMES, dtype=np.int32)
-            self.session.transcribe_short_batch(
-                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
-                self._special.eot,
-                suppress_ids=self.gen_cfg.suppress_tokens,
-                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-            )
-        if self.session.has_draft:
-            # Lone requests take the speculative program — pre-compile it too.
-            audio = np.zeros((1, self._short_limit + 2 * 200), dtype=np.float32)
-            self.session.transcribe_short_speculative(
-                audio, np.asarray([CHUNK_FRAMES], np.int32), self._prompt,
-                self.cfg.max_new_tokens, self._special.eot,
-                suppress_ids=self.gen_cfg.suppress_tokens,
-                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-            )
+            if self.session.has_draft:
+                # Every short bucket takes the speculative program.
+                self.session.transcribe_short_speculative(
+                    audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                    self._special.eot,
+                    suppress_ids=self.gen_cfg.suppress_tokens,
+                    begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+                )
+            else:
+                self.session.transcribe_short_batch(
+                    audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                    self._special.eot,
+                    suppress_ids=self.gen_cfg.suppress_tokens,
+                    begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+                )
 
     def close(self) -> None:
         self._running = False
         self._queue.put(None)
+        self._long_queue.put(None)
         self._worker.join(timeout=10)
+        self._long_worker.join(timeout=10)
 
     # -- worker -------------------------------------------------------------
 
@@ -161,56 +176,40 @@ class StreamingEngine:
                     break
                 batch.append(nxt)
 
-            short = [r for r in batch if len(r.audio) <= self._short_limit]
-            long = [r for r in batch if len(r.audio) > self._short_limit]
-            if short:
-                try:
-                    self._process_short(short)
-                except Exception as e:  # resolve futures, keep serving
-                    for r in short:
-                        if not r.future.done():
-                            r.future.set_exception(e)
-            for r in long:
-                try:
-                    self.stats["longform"] += 1
-                    text, _ = transcribe_longform(
-                        self.session, r.audio, self.cfg.language,
-                        self.cfg.task, self.cfg.max_new_tokens,
-                        self.cfg.chunk_length_s, self.cfg.overlap_s,
-                        self.tokenizer, self.cfg.timestamps, self.gen_cfg,
-                    )
-                    r.future.set_result(text)
-                except Exception as e:
-                    r.future.set_exception(e)
+            try:
+                self._process_short(batch)
+            except Exception as e:  # resolve futures, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_long(self) -> None:
+        """Long-form lane: one request at a time, each decomposed by the
+        long-form pipeline into bounded per-chunk-bucket programs, so the
+        device interleaves short-lane programs between them."""
+        while self._running:
+            req = self._long_queue.get()
+            if req is None:
+                break
+            try:
+                self.stats["longform"] += 1
+                text, _ = transcribe_longform(
+                    self.session, req.audio, self.cfg.language,
+                    self.cfg.task, self.cfg.max_new_tokens,
+                    self.cfg.chunk_length_s, self.cfg.overlap_s,
+                    self.tokenizer, self.cfg.timestamps, self.gen_cfg,
+                )
+                req.future.set_result(text)
+            except Exception as e:
+                req.future.set_exception(e)
 
     def _process_short(self, reqs: List[_Request]) -> None:
         """One fused program over all short requests in this tick.
 
-        A lone request with a draft model attached takes the speculative
-        path (lossless greedy, fewer full-model steps)."""
+        With a draft model attached, the whole bucket takes the speculative
+        path (lossless greedy, fewer full-model steps; per-row cache
+        positions let rows accept different draft lengths)."""
         n = len(reqs)
-        if n == 1 and self.session.has_draft:
-            r = reqs[0]
-            padded = golden.reflect_pad(r.audio)
-            pad_len = self._short_limit + 2 * 200
-            audio = np.zeros((1, pad_len), dtype=np.float32)
-            audio[0, : len(padded)] = padded
-            n_valid = np.asarray([golden.num_frames(len(r.audio))], np.int32)
-            tokens = self.session.transcribe_short_speculative(
-                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
-                self._special.eot,
-                suppress_ids=self.gen_cfg.suppress_tokens,
-                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-            )
-            self.stats["speculative"] += 1
-            gen = strip_generated(tokens[0], self._special.eot)
-            if self.tokenizer is not None:
-                text = self.tokenizer.decode(gen, skip_special_tokens=True)
-            else:
-                text = (f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]"
-                        if gen else "")
-            r.future.set_result(text.strip())
-            return
         bucket = 1
         while bucket < n and bucket < self.session.cfg.max_batch:
             bucket <<= 1
@@ -223,12 +222,21 @@ class StreamingEngine:
             audio[i, : len(padded)] = padded
             n_valid[i] = golden.num_frames(len(r.audio))
 
-        tokens = self.session.transcribe_short_batch(
-            audio, n_valid, self._prompt, self.cfg.max_new_tokens,
-            self._special.eot,
-            suppress_ids=self.gen_cfg.suppress_tokens,
-            begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-        )
+        if self.session.has_draft:
+            tokens = self.session.transcribe_short_speculative(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
+            self.stats["speculative"] += n
+        else:
+            tokens = self.session.transcribe_short_batch(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
         self.stats["batches"] += 1
         self.stats["batched_requests"] += n
         for i, r in enumerate(reqs):

@@ -75,7 +75,13 @@ async def handle_client(engine: StreamingEngine, reader, writer) -> None:
             writer.write((json.dumps(resp) + "\n").encode())
             await writer.drain()
     finally:
-        writer.close()
+        # Cancellation-safe: the connection may be torn down while the
+        # event loop itself is shutting down.
+        try:
+            writer.close()
+            await writer.wait_closed()
+        except Exception:
+            pass
 
 
 def _to_asyncio(fut, loop):
@@ -91,10 +97,17 @@ def _to_asyncio(fut, loop):
     return afut
 
 
+# One JSON line carries base64 PCM: ~171 KB/s of audio. asyncio's default
+# 64 KiB reader limit would reset any request over ~1.5 s, so size the limit
+# for the longest supported line (2 h of 16 kHz int16 ≈ 308 MB base64).
+_LINE_LIMIT = 512 * 1024 * 1024
+
+
 async def serve(engine: StreamingEngine, host: str, port: int,
                 ready_event=None) -> None:
     server = await asyncio.start_server(
-        lambda r, w: handle_client(engine, r, w), host, port
+        lambda r, w: handle_client(engine, r, w), host, port,
+        limit=_LINE_LIMIT,
     )
     if ready_event is not None:
         ready_event.set()
