@@ -119,6 +119,45 @@ class TestDecoderParity:
                 np.asarray(step_logits), want, atol=3e-4, rtol=0
             )
 
+    def test_left_padded_conditioned_prompt_equals_unpadded(self, tiny):
+        """Previous-text conditioning uses LEFT-padded fixed-size prompts
+        (prompt_mask in prefill + pad_count in steps) so one program serves
+        every window. The padded run must be token-for-token identical to
+        torch greedy over the UNPADDED prompt — proving the mask/position
+        bookkeeping is exact (ref semantics: HF generate with
+        condition_on_prev, benchmark_without_hf_pipeline.py:236-244)."""
+        import jax
+
+        from whisper_tpu.runtime.generate import build_suppress_mask, greedy_generate
+
+        model, dims, params = tiny
+        mel = _mel(dims, 2 * dims.max_source_positions, seed=21)
+        # Unpadded conditioned prompt: [sot_prev(=7), prev..., sot(=1), 5]
+        real_prompt = [7, 101, 202, 303, 1, 5]
+        n_new = 6
+
+        seq = np.asarray([real_prompt], dtype=np.int64)
+        for _ in range(n_new):
+            with torch.no_grad():
+                lg = model(
+                    input_features=torch.from_numpy(mel[:1]),
+                    decoder_input_ids=torch.from_numpy(seq),
+                ).logits.numpy()[0, -1]
+            seq = np.concatenate([seq, [[int(lg.argmax())]]], axis=1)
+        want = list(seq[0, len(real_prompt):])
+
+        pad = 3
+        padded_prompt = [0] * pad + real_prompt
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel[:1]))
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        got = np.asarray(greedy_generate(
+            params, dims, enc,
+            jnp.asarray(padded_prompt, dtype=jnp.int32),
+            mask, mask, max_new_tokens=n_new, eot_id=2,
+            pad_count=jnp.asarray([pad], dtype=jnp.int32),
+        ))[0]
+        assert list(got) == want
+
     def test_prefill_then_step_argmax_chain(self, tiny):
         """Greedy chain: argmax from our prefill+steps equals torch's."""
         model, dims, params = tiny

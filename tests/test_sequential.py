@@ -60,6 +60,56 @@ class TestSequentialE2E:
         for s in segments:
             assert s.end_s >= s.start_s >= 0
 
+    def test_condition_on_prev_text_changes_decoding(self):
+        """Conditioned windows see a <|startofprev|>-prefixed prompt, so
+        decoding after the first window diverges from the unconditioned run
+        — while the first window, with nothing to condition on yet, decodes
+        identically. The padded-vs-unpadded numerical equivalence is proven
+        against torch in test_model_parity.py.
+
+        Uses a fake tokenizer whose special ids fit the nano vocab (the
+        real ~50k ids would be out of range, and the timestamp grammar
+        would then never yield segments)."""
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        class FakeTok:
+            _ids = {"<|startoftranscript|>": 3, "<|endoftext|>": 2,
+                    "<|en|>": 4, "<|transcribe|>": 5,
+                    "<|notimestamps|>": 19, "<|startofprev|>": 7}
+
+            def token_to_id(self, t):
+                return self._ids.get(t)
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(i) for i in ids)
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(
+            init_params(dims, seed=1), dims,
+            RuntimeCfg(dtype="float32", max_batch=2),
+        )
+        rng = np.random.default_rng(2)
+        audio = rng.normal(0, 0.1, 65 * 16000).astype(np.float32)  # 3 windows
+        tok = FakeTok()
+
+        plain_text, plain_segs, _ = transcribe_sequential(
+            sess, audio, "en", "transcribe", max_new_tokens=8, tokenizer=tok,
+        )
+        cond_text, cond_segs, _ = transcribe_sequential(
+            sess, audio, "en", "transcribe", max_new_tokens=8, tokenizer=tok,
+            condition_on_prev_text=True, prev_context_tokens=16,
+        )
+        assert isinstance(cond_text, str) and len(cond_segs) >= 1
+        assert len(plain_segs) >= 1
+        # First window tokens agree (empty conditioning == plain prompt).
+        assert cond_segs[0].tokens == plain_segs[0].tokens
+        if len(plain_segs) > 1 and plain_segs[0].tokens:
+            # Later windows are conditioned on window 1's text.
+            assert [s.tokens for s in cond_segs] != \
+                [s.tokens for s in plain_segs]
+
     def test_cli_sequential_mode(self, tmp_path):
         import json
         import struct

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked = reference rust strategy (fixed 30s windows"
                         " + overlap stitching); sequential = HF-style"
                         " seek-based timestamped segmentation")
+    p.add_argument("--condition-on-prev-text", action="store_true",
+                   help="sequential mode: prefix each window's prompt with "
+                        "<|startofprev|> + the previous text tokens "
+                        "(openai-whisper/HF condition_on_prev_tokens)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard chunk batches over N chips ('data' mesh axis)")
     p.add_argument("--tensor-parallel", type=int, default=0,
@@ -289,6 +293,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             text, _segments, t = transcribe_sequential(
                 session, audio, args.language, args.task,
                 args.max_new_tokens, tokenizer, gen_cfg,
+                condition_on_prev_text=args.condition_on_prev_text,
             )
         elif args.temperatures:
             from whisper_tpu.pipeline.fallback import (

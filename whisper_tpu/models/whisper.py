@@ -353,12 +353,26 @@ def decoder_prefill(
     if int8_cross_kv:
         cache = quantize_cross_kv(cache)
 
-    x = dec["tok_emb"][tokens] + dec["pos_embed"][:p].astype(dtype)
-
-    # Causal within the prompt; nothing beyond position P exists yet.
-    q_idx = jnp.arange(p)[:, None]
-    k_idx = jnp.arange(max_len)[None, :]
-    mask = k_idx <= q_idx  # [P, S_max]
+    if prompt_mask is None:
+        x = dec["tok_emb"][tokens] + dec["pos_embed"][:p].astype(dtype)
+        # Causal within the prompt; nothing beyond position P exists yet.
+        q_idx = jnp.arange(p)[:, None]
+        k_idx = jnp.arange(max_len)[None, :]
+        mask = k_idx <= q_idx  # [P, S_max]
+    else:
+        # Left-padded prompt: real token i gets position id (#real slots
+        # before it); pad slots are position 0 and never attended.
+        pos_ids = jnp.maximum(
+            jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0
+        )  # [B, P]
+        x = dec["tok_emb"][tokens] + dec["pos_embed"][pos_ids].astype(dtype)
+        q_idx = jnp.arange(p)[None, :, None]
+        k_idx = jnp.arange(max_len)[None, None, :]
+        causal = k_idx <= q_idx                            # [1, P, S_max]
+        valid_k = jnp.concatenate(
+            [prompt_mask, jnp.ones((b, max_len - p), bool)], axis=1
+        )  # [B, S_max]
+        mask = (causal & valid_k[:, None, :])[:, None]     # [B, 1, P, S_max]
 
     x, cache = _decoder_blocks(
         params, dims, x, cache, jnp.int32(0), mask, precision
@@ -374,17 +388,31 @@ def decoder_step(
     cache: KVCache,
     *,
     precision=None,
+    pad_count: Optional[jax.Array] = None,  # [B] left-pad slots in the cache
 ) -> tuple[jax.Array, KVCache]:
     """One-token decoder pass against the static cache; logits [B, V].
 
     The on-device replacement for the reference's per-token
     decoder_with_past IoBinding run (src/main.rs:793-827). A vector `pos`
     gives each row its own position (batched speculative decoding).
+
+    With pad_count set (left-padded conditioned prompts), `pos` remains the
+    CACHE SLOT index while the position embedding uses pos - pad_count (the
+    real sequence position) and the first pad_count slots are never
+    attended — matching an unpadded shorter sequence exactly.
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
     max_len = cache.self_k.shape[3]
-    if pos.ndim == 0:
+    if pad_count is not None:
+        pos_ids = pos - pad_count                         # [B] real positions
+        pos_emb = dec["pos_embed"][pos_ids].astype(dtype)[:, None, :]
+        mask = (
+            (jnp.arange(max_len)[None, :] <= jnp.broadcast_to(
+                pos, pad_count.shape)[:, None])
+            & (jnp.arange(max_len)[None, :] >= pad_count[:, None])
+        )[:, None, None, :]                               # [B, 1, 1, S_max]
+    elif pos.ndim == 0:
         pos_emb = jax.lax.dynamic_slice_in_dim(
             dec["pos_embed"], pos, 1, axis=0
         ).astype(dtype)                                   # [1, d]

@@ -18,8 +18,16 @@ This module implements the sequential strategy natively:
 4. repeat until the audio is exhausted.
 
 Unlike the chunked path there is no overlap stitching — boundaries are
-model-predicted.  Conditioning on previous text (sot_prev) is not applied,
-matching transformers' default ``condition_on_prev_tokens=False``.
+model-predicted.
+
+Previous-text conditioning (``condition_on_prev_text=True``, the
+openai-whisper/HF ``condition_on_prev_tokens`` behavior): each window's
+prompt is prefixed with ``<|startofprev|>`` plus the tail of the text
+tokens emitted so far.  To keep one compiled program per file, the prompt
+has a FIXED length — the prev-context region is LEFT-padded to
+``prev_context_tokens`` slots and a prompt mask in prefill makes the padded
+prompt numerically identical to the unpadded shorter one (position ids
+count real tokens only, pad slots are never attended; models/whisper.py).
 """
 
 from __future__ import annotations
@@ -102,8 +110,17 @@ def transcribe_sequential(
     tokenizer=None,
     gen_cfg: Optional[GenerationCfg] = None,
     max_windows: int = 1000,
+    condition_on_prev_text: bool = False,
+    prev_context_tokens: int = 64,
 ) -> Tuple[str, List[Segment], Timing]:
-    """Seek-based long-form transcription. Returns (text, segments, timing)."""
+    """Seek-based long-form transcription. Returns (text, segments, timing).
+
+    condition_on_prev_text prefixes each window's prompt with
+    <|startofprev|> + the last `prev_context_tokens` text tokens emitted so
+    far (ref: the Python SUT's generate(return_timestamps=True) drives the
+    same conditioning inside HF, benchmark_without_hf_pipeline.py:236-244;
+    openai-whisper transcribe.py semantics: text tokens only, tail-clipped).
+    """
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
     special = special_tokens(language, task, tokenizer)
@@ -114,6 +131,11 @@ def transcribe_sequential(
         no_timestamps_id=special.no_timestamps,
     )
     prompt = [special.sot, special.lang, special.task]
+    # Fixed-length conditioned prompt: [pad*, sot_prev, prev_tail..., sot,
+    # lang, task]. pad slots are masked in prefill; with no prev text yet
+    # the whole prefix (incl. sot_prev) is padding == the plain prompt.
+    k_prev = prev_context_tokens if condition_on_prev_text else 0
+    prev_tokens: List[int] = []
 
     audio_16k = np.asarray(audio_16k, dtype=np.float32)
     tp0 = time.perf_counter()
@@ -131,14 +153,23 @@ def transcribe_sequential(
     seek = 0
     windows = 0
     while seek < total_frames and windows < max_windows:
+        if condition_on_prev_text:
+            tail = prev_tokens[-(k_prev - 1):] if k_prev > 1 else []
+            prev_region = [special.sot_prev] + tail if tail else []
+            pad = k_prev - len(prev_region)
+            window_prompt = [special.eot] * pad + prev_region + prompt
+            pad_count = pad
+        else:
+            window_prompt, pad_count = prompt, None
         tm0 = time.perf_counter()
         tokens = session.transcribe_from_mel(
             mel_dev, [seek],
-            prompt=prompt, max_new_tokens=max_new_tokens,
+            prompt=window_prompt, max_new_tokens=max_new_tokens,
             eot_id=special.eot,
             suppress_ids=gen_cfg.suppress_tokens,
             begin_suppress_ids=gen_cfg.begin_suppress_tokens,
             ts_cfg=ts_cfg,
+            pad_count=pad_count,
         )
         model_s += time.perf_counter() - tm0
 
@@ -146,6 +177,11 @@ def transcribe_sequential(
         gen = strip_generated(tokens[0], special.eot)
         segs, last_close = parse_segments(gen, ts_begin, seek * 0.01)
         segments.extend(segs)
+        if condition_on_prev_text:
+            # Text tokens only (openai-whisper keeps segment text tokens,
+            # not timestamps, in the conditioning window).
+            for s in segs:
+                prev_tokens.extend(s.tokens)
         decode_s += time.perf_counter() - td0
 
         if last_close is not None and last_close > 0:

@@ -57,6 +57,9 @@ def greedy_generate(
     rng_key=None,                 # required when temperature > 0
     return_logprobs: bool = False,
     precision=None,
+    pad_count=None,               # [B] int32: left-pad slots in the prompt
+                                  # (previous-text conditioning with static
+                                  # shapes; see models/whisper.py)
 ):
     """Returns generated tokens [B, max_new_tokens] (prompt excluded) —
     plus (sum_logprob [B], n_tokens [B]) when return_logprobs is set (the
@@ -98,9 +101,12 @@ def greedy_generate(
             lp = jnp.zeros(logits_f32.shape[0], jnp.float32)
         return tok, lp
 
+    prompt_mask = None
+    if pad_count is not None:
+        prompt_mask = jnp.arange(p)[None, :] >= pad_count[:, None]  # [B, P]
     logits, cache = whisper.decoder_prefill(
         params, dims, tokens, enc_states, max_len, precision=precision,
-        int8_cross_kv=int8_cross_kv,
+        int8_cross_kv=int8_cross_kv, prompt_mask=prompt_mask,
     )
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None
@@ -137,7 +143,8 @@ def greedy_generate(
             )
         else:
             step_logits, cache = whisper.decoder_step(
-                params, dims, last, p + i - 1, cache, precision=precision
+                params, dims, last, p + i - 1, cache, precision=precision,
+                pad_count=pad_count,
             )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

@@ -316,20 +316,24 @@ class WhisperSession:
     def _get_mel_fn(self, n_frames: int, batch: int, prompt_len: int,
                     max_new: int, eot_id: int, num_beams: int = 1,
                     length_penalty: float = 1.0, ts_cfg=None,
-                    temperature: float = 0.0, with_scores: bool = False):
+                    temperature: float = 0.0, with_scores: bool = False,
+                    conditioned: bool = False):
         """Compiled program: device mel [n_mels, F] + frame starts [B] ->
         generated tokens [B, max_new].  Chunk extraction (zero-padded
         3000-frame windows, ref src/main.rs:899-905) runs on device.
-        num_beams > 1 switches the token loop to on-device beam search."""
+        num_beams > 1 switches the token loop to on-device beam search.
+        conditioned=True adds a pad_counts [B] argument for left-padded
+        previous-text prompts (sequential mode, HF condition_on_prev)."""
         key = ("mel", n_frames, batch, prompt_len, max_new, eot_id,
-               num_beams, length_penalty, ts_cfg, temperature, with_scores)
+               num_beams, length_penalty, ts_cfg, temperature, with_scores,
+               conditioned)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
             def run(params, sw, mel, starts, prompt, suppress,
-                    first_suppress, rng):
+                    first_suppress, rng, pad_counts=None):
                 mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
                 chunks = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(
@@ -355,10 +359,11 @@ class WhisperSession:
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
-                    step_weights=sw,
+                    step_weights=None if conditioned else sw,
                     temperature=temperature, rng_key=rng,
                     return_logprobs=with_scores,
                     precision=precision,
+                    pad_count=pad_counts,
                 )
 
             self._fns[key] = jax.jit(run)
@@ -379,12 +384,18 @@ class WhisperSession:
         temperature: float = 0.0,
         seed: int = 0,
         with_scores: bool = False,
+        pad_count: int | None = None,
     ):
         """Transcribe chunks sliced (on device) from a whole-file mel.
 
         Returns generated tokens [len(frame_starts), max_new_tokens]; with
         with_scores also (sum_logprob, n_tokens) per chunk — the quality
-        signal for temperature-fallback decoding."""
+        signal for temperature-fallback decoding.
+
+        pad_count marks the first N prompt tokens as left padding
+        (previous-text conditioning: the prompt stays a fixed length so one
+        program serves every window; padded slots are masked out and
+        position ids count real tokens only)."""
         c = len(frame_starts)
         n_frames = mel.shape[1]
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
@@ -405,11 +416,15 @@ class WhisperSession:
             fn = self._get_mel_fn(n_frames, bucket, len(prompt),
                                   max_new_tokens, eot_id, num_beams,
                                   length_penalty, ts_cfg, temperature,
-                                  with_scores)
+                                  with_scores,
+                                  conditioned=pad_count is not None)
             rng = jax.random.PRNGKey(seed * 100003 + start)
-            result = fn(self.params, self._step_weights, mel,
-                        self._put_batch(jnp.asarray(starts)),
-                        prompt_arr, base_mask, first_mask, rng)
+            args = [self.params, self._step_weights, mel,
+                    self._put_batch(jnp.asarray(starts)),
+                    prompt_arr, base_mask, first_mask, rng]
+            if pad_count is not None:
+                args.append(jnp.full((bucket,), pad_count, dtype=jnp.int32))
+            result = fn(*args)
             if with_scores:
                 toks, lp, nt = result
                 sum_lp[start : start + n] = np.asarray(lp)[:n]

@@ -28,6 +28,8 @@ class SpecialTokens:
     lang: int
     task: int
     no_timestamps: int
+    # <|startofprev|>: previous-text conditioning prefix (sequential mode).
+    sot_prev: int = 50361
 
 
 def special_tokens(
@@ -40,12 +42,14 @@ def special_tokens(
                 raise KeyError(f"Tokenizer missing token: {t}")
             return i
 
+        sot_prev = tokenizer.token_to_id("<|startofprev|>")
         return SpecialTokens(
             sot=get_id("<|startoftranscript|>"),
             eot=get_id("<|endoftext|>"),
             lang=get_id(f"<|{language}|>"),
             task=get_id(f"<|{task}|>"),
             no_timestamps=get_id("<|notimestamps|>"),
+            sot_prev=sot_prev if sot_prev is not None else 50361,
         )
 
     # Hardcoded multilingual fallback (ref src/main.rs:543-568).
