@@ -16,6 +16,14 @@
 #   SUT_NAME        results history key              (default: hostname)
 #   CORE_COUNT/MEMORY_GB  history metadata           (default: nproc / MemTotal)
 #   MERGE_ONLY=1    rebuild summary + history from existing outputs
+#   COMPARISON_SUTS comparison SUT runners to attempt alongside the TPU SUT
+#                   ("auto" = hf_pipeline python_ort faster_whisper; ""=none).
+#                   Each runner emits reference-schema rows or exits with the
+#                   skip code 3 when its engine isn't installed, so one
+#                   invocation yields a summary_table.md with both
+#                   reference-format rows and TPU rows (whisper_tpu/suts/).
+#   COMPARISON_MODEL_DIR  model assets for the comparison SUTs (default:
+#                   MODEL_ID + --allow-random-init where supported)
 set -euo pipefail
 
 AUDIO_DIR=${AUDIO_DIR:-audio}
@@ -33,6 +41,11 @@ SUT_NAME=${SUT_NAME:-$(hostname)}
 CORE_COUNT=${CORE_COUNT:-$(nproc)}
 MEMORY_GB=${MEMORY_GB:-$(awk '/MemTotal/ {printf "%d", $2/1048576}' /proc/meminfo)}
 MERGE_ONLY=${MERGE_ONLY:-0}
+COMPARISON_SUTS=${COMPARISON_SUTS:-}
+COMPARISON_MODEL_DIR=${COMPARISON_MODEL_DIR:-}
+if [ "$COMPARISON_SUTS" = "auto" ]; then
+  COMPARISON_SUTS="hf_pipeline python_ort faster_whisper"
+fi
 
 mkdir -p "$OUT_ROOT/logs"
 
@@ -70,6 +83,54 @@ if [ "$MERGE_ONLY" != "1" ]; then
         --out-csv "$OUT_DIR/inference_per_file.csv" \
         --out-json "$OUT_DIR/inference_per_file.json" \
         --out-summary-json "$OUT_DIR/inference_summary.json"
+  done
+
+  # Comparison SUTs (reference P1-P3 counterparts, whisper_tpu/suts/).
+  # rc=3 means "engine not installed" — report and continue.
+  run_comparison_sut() {
+    local MODULE="$1" SUBDIR="$2"; shift 2
+    local OUT_DIR="$OUT_ROOT/$SUBDIR"
+    mkdir -p "$OUT_DIR"
+    local CMP_ARGS=(--audio-dir "$AUDIO_DIR" --model-id "$MODEL_ID"
+                    --language "$LANGUAGE" --task "$TASK"
+                    --max-new-tokens "$MAX_NEW_TOKENS" --warmup "$WARMUP"
+                    --limit-files "$LIMIT_FILES" --num-beams "$NUM_BEAMS"
+                    --write-txt
+                    --out-csv "$OUT_DIR/inference_per_file.csv"
+                    --out-json "$OUT_DIR/inference_per_file.json"
+                    --out-summary-json "$OUT_DIR/inference_summary.json")
+    if [ -n "$COMPARISON_MODEL_DIR" ]; then
+      CMP_ARGS+=(--model-dir "$COMPARISON_MODEL_DIR")
+    fi
+    echo "== comparison SUT $MODULE -> $OUT_DIR"
+    set +e
+    python -m whisper_tpu.results.timed_run "$OUT_ROOT/logs/$SUBDIR.time.txt" -- \
+      python -m "whisper_tpu.suts.$MODULE" "${CMP_ARGS[@]}" "$@"
+    local RC=$?
+    set -e
+    if [ "$RC" = "3" ]; then
+      echo "   skipped (engine not installed)"
+      rm -f "$OUT_ROOT/logs/$SUBDIR.time.txt"
+    elif [ "$RC" != "0" ]; then
+      echo "   FAILED rc=$RC" >&2
+      return "$RC"
+    fi
+  }
+  for SUT in $COMPARISON_SUTS; do
+    case "$SUT" in
+      hf_pipeline)
+        HF_ARGS=()
+        [ -z "$COMPARISON_MODEL_DIR" ] && HF_ARGS+=(--allow-random-init)
+        run_comparison_sut hf_pipeline with_hf_pipeline "${HF_ARGS[@]}" ;;
+      python_ort)
+        run_comparison_sut python_ort without_hf_pipeline_py ;;
+      faster_whisper)
+        run_comparison_sut faster_whisper_sut faster_whisper_fp32 \
+          --compute-type float32
+        run_comparison_sut faster_whisper_sut faster_whisper_int8 \
+          --compute-type int8 ;;
+      *) echo "unknown comparison SUT: $SUT" >&2; exit 2 ;;
+    esac
   done
 fi
 

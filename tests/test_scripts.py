@@ -50,3 +50,47 @@ def test_runner_script_end_to_end(tmp_path):
     hist = list(csv.DictReader(open(tmp_path / "RESULTS.csv")))
     assert hist[0]["sut_name"] == "ci"
     assert (tmp_path / "RESULTS.md").read_text().count("<!-- RESULTS:") >= 1
+
+
+@pytest.mark.slow
+def test_runner_with_comparison_suts(tmp_path):
+    """COMPARISON_SUTS=auto: one command yields a summary table holding
+    reference-format SUT rows (HF/torch actually runs here; ORT and
+    faster-whisper skip cleanly) next to the TPU rows (VERDICT r1 #4)."""
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(1)
+    data = rng.normal(0, 0.1, 16000)
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, 1, 16000, 32000, 2, 16, b"data", len(pcm))
+    (audio_dir / "x.wav").write_bytes(hdr + pcm)
+
+    env = dict(os.environ)
+    env.update({
+        "AUDIO_DIR": str(audio_dir),
+        "MODEL_ID": "test/whisper-nano",
+        "VARIANTS": "x2",
+        "MAX_NEW_TOKENS": "3",
+        "WARMUP": "0",
+        "SUT_NAME": "ci",
+        "CORE_COUNT": "1",
+        "MEMORY_GB": "1",
+        "COMPARISON_SUTS": "auto",
+        "PYTHONPATH": REPO,
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "run_tpu_benchmarks.sh")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "skipped (engine not installed)" in r.stdout  # ORT / fw gated
+
+    out_root = tmp_path / "results" / "benchmarks" / "tpu"
+    rows = list(csv.DictReader(open(out_root / "summary_table.csv")))
+    impls = {row["implementation"] for row in rows}
+    assert any(i.startswith("whisper-tpu") for i in impls)
+    assert "openai/whisper (HF pipeline)" in impls  # reference-format row
+    assert (out_root / "with_hf_pipeline" / "inference_summary.json").is_file()

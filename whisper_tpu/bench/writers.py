@@ -67,6 +67,11 @@ def write_per_file_json(rows: Sequence[RowOut], path: str) -> None:
         json.dump([r.to_dict() for r in rows], f, indent=2)
 
 
+def write_summary_json(summary: Dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+
+
 def build_summary(
     *,
     config_used: Dict,

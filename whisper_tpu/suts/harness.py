@@ -1,0 +1,155 @@
+"""Shared benchmark harness for the comparison SUT runners.
+
+One harness, three engines: the per-file loop, timing breakdown, stat
+blocks and writers are identical across the reference's Python SUTs
+(benchmark_without_hf_pipeline.py:280-487 and siblings differ only in how
+they build and call the model), so the engine-specific runners plug a
+`build()` and a `transcribe(state, audio)` into this loop.
+
+Output schemas reuse whisper_tpu.bench.writers (byte-compatible with the
+reference); the summary additionally carries the Python SUTs' extra keys
+`latency_model_only_s` and `rtf_model` (ref
+benchmark_without_hf_pipeline.py:456,465).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, List, Tuple
+
+from whisper_tpu.bench.writers import (
+    RowOut,
+    build_summary,
+    write_per_file_csv,
+    write_per_file_json,
+    write_summary_json,
+)
+from whisper_tpu.utils.stats import stat_block
+
+AUDIO_EXTS = {".wav", ".flac", ".mp3"}
+SKIP_RC = 3  # "engine dependency missing" — runners report and move on
+
+
+@dataclass
+class SutResult:
+    text: str
+    preprocess_s: float
+    model_only_s: float
+    decode_s: float
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--audio-dir", required=True)
+    p.add_argument("--model-id", default="openai/whisper-base")
+    p.add_argument("--model-dir", default="",
+                   help="local model assets (exported/converted); empty = "
+                        "resolve from --model-id (or random init if allowed)")
+    p.add_argument("--allow-random-init", action="store_true")
+    p.add_argument("--language", default="en")
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--limit-files", type=int, default=0)
+    p.add_argument("--num-beams", type=int, default=1)
+    p.add_argument("--write-txt", action="store_true")
+    p.add_argument("--out-csv", default="out/inference_per_file.csv")
+    p.add_argument("--out-json", default="out/inference_per_file.json")
+    p.add_argument("--out-summary-json", default="out/inference_summary.json")
+    return p
+
+
+def list_audio(audio_dir: str, limit: int) -> List[Path]:
+    files = sorted(
+        e for e in Path(audio_dir).iterdir()
+        if e.is_file() and e.suffix.lower() in AUDIO_EXTS
+    )
+    return files[:limit] if limit > 0 else files
+
+
+def run_benchmark(
+    args,
+    config_used: dict,
+    transcribe: Callable[["object", "object"], SutResult],
+    state,
+    sut_name: str,
+) -> int:
+    """The reference Python SUTs' driver shape: warmup, per-file loop with
+    load/preprocess/model/decode breakdown, writers, DONE report."""
+    from whisper_tpu.audio.io import load_audio_16k_mono
+
+    for out in (args.out_csv, args.out_json, args.out_summary_json):
+        parent = os.path.dirname(out)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+
+    files = list_audio(args.audio_dir, args.limit_files)
+    if not files:
+        print(f"No audio files in {args.audio_dir}")
+        return 1
+
+    for _ in range(max(args.warmup, 0)):
+        audio, _sr, _dur = load_audio_16k_mono(str(files[0]))
+        transcribe(state, audio)
+
+    rows: List[RowOut] = []
+    end2end, load_l, pre_l, model_l, dec_l, rtf_l = [], [], [], [], [], []
+    for f in files:
+        t0 = time.perf_counter()
+        audio, _sr, dur = load_audio_16k_mono(str(f))
+        load_s = time.perf_counter() - t0
+        r = transcribe(state, audio)
+        e2e = time.perf_counter() - t0
+        rtf = e2e / dur if dur > 0 else 0.0
+        rows.append(RowOut.make(f.name, dur, e2e, rtf, r.text))
+        end2end.append(e2e)
+        load_l.append(load_s)
+        pre_l.append(r.preprocess_s)
+        model_l.append(r.model_only_s)
+        dec_l.append(r.decode_s)
+        rtf_l.append(rtf)
+        print(f"{f.name},{dur:.3f},{e2e:.4f},{rtf:.6f}")
+        if args.write_txt:
+            txt = Path(args.out_csv).parent / (f.stem + ".transcript.txt")
+            txt.write_text(r.text + "\n", encoding="utf-8")
+
+    write_per_file_csv(rows, args.out_csv)
+    write_per_file_json(rows, args.out_json)
+    summary = build_summary(
+        config_used=config_used, rows=rows, end2end=end2end, load=load_l,
+        preprocess=pre_l, model_only=model_l, decode=dec_l,
+        rtf_end2end=rtf_l, model_id=args.model_id,
+        onnx_dir=args.model_dir, language=args.language, task=args.task,
+        max_new_tokens=args.max_new_tokens, tokenizer_json="",
+        timestamps=False, notes={"sut": sut_name},
+    )
+    # Python-SUT extra keys (ref benchmark_without_hf_pipeline.py:456,465).
+    summary["latency_model_only_s"] = stat_block(model_l)
+    durs = [row.duration_s for row in rows]
+    summary["rtf_model"] = stat_block(
+        [m / d if d > 0 else 0.0 for m, d in zip(model_l, durs)]
+    )
+    write_summary_json(summary, args.out_summary_json)
+    p95 = summary["latency_end_to_end_s"].get("p95", 0.0)
+    print(f"DONE sut={sut_name} n_files={len(rows)} p95={p95:.6f}")
+    return 0
+
+
+def chunk_starts(n_samples: int, chunk_len: int, overlap: int) -> List[int]:
+    """30 s window starts with overlap (the chunked long-form grid the
+    reference uses, src/main.rs:859-862)."""
+    if n_samples <= chunk_len:
+        return [0]
+    step = max(chunk_len - overlap, 1)
+    starts = list(range(0, max(n_samples - overlap, 1), step))
+    return [s for s in starts if s < n_samples]
+
+
+def missing_dependency(name: str, err: Exception) -> int:
+    print(f"[skip] comparison SUT dependency missing: {name} ({err})")
+    return SKIP_RC
