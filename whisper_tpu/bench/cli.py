@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked = reference rust strategy (fixed 30s windows"
                         " + overlap stitching); sequential = HF-style"
                         " seek-based timestamped segmentation")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="emit word-level timestamps (cross-attention DTW "
+                        "alignment) in the per-file JSON rows; chunked "
+                        "long-form mode only")
     p.add_argument("--condition-on-prev-text", action="store_true",
                    help="sequential mode: prefix each window's prompt with "
                         "<|startofprev|> + the previous text tokens "
@@ -287,6 +291,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if executor is not None and idx + 1 < len(files):
             next_future = executor.submit(_load, files[idx + 1], True)
 
+        words = None  # word timestamps: chunked mode only
         if args.longform_mode == "sequential":
             from whisper_tpu.pipeline.sequential import transcribe_sequential
 
@@ -307,16 +312,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 tokenizer, gen_cfg, temperatures=temps,
             )
         else:
+            words = [] if args.word_timestamps else None
             text, t = transcribe_longform(
                 session, audio, args.language, args.task, args.max_new_tokens,
                 args.chunk_length_s, args.overlap_s, tokenizer,
                 args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
                 precomputed_mel=pre_mel,
+                word_collector=words,
             )
 
         e2e = load_s + t.end_to_end_s
         rtf = e2e / max(dur, 1e-9)
-        rows.append(RowOut.make(fnm, dur, e2e, rtf, text))
+        rows.append(RowOut.make(fnm, dur, e2e, rtf, text, words=words))
         load_l.append(load_s)
         pre_l.append(t.preprocess_s)
         model_l.append(t.model_only_s)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import csv
 import json
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from whisper_tpu.utils.stats import stat_block
 
@@ -26,26 +26,35 @@ class RowOut:
     end_to_end_s: float
     rtf: float
     text: str
+    # Word-level timestamps ({word,start,end} dicts) — present in the JSON
+    # rows only behind --word-timestamps; the reference schema is unchanged
+    # when the flag is off.
+    words: Optional[List[Dict]] = None
 
     @classmethod
     def make(cls, file: str, duration_s: float, end_to_end_s: float,
-             rtf: float, text: str) -> "RowOut":
+             rtf: float, text: str, words: Optional[List[Dict]] = None
+             ) -> "RowOut":
         return cls(
             file=file,
             duration_s=round(duration_s * 1000.0) / 1000.0,
             end_to_end_s=round(end_to_end_s * 10_000.0) / 10_000.0,
             rtf=round(rtf * 1_000_000.0) / 1_000_000.0,
             text=text,
+            words=words,
         )
 
     def to_dict(self) -> Dict:
-        return {
+        d = {
             "file": self.file,
             "duration_s": self.duration_s,
             "end_to_end_s": self.end_to_end_s,
             "rtf": self.rtf,
             "text": self.text,
         }
+        if self.words is not None:
+            d["words"] = self.words
+        return d
 
 
 def write_per_file_csv(rows: Sequence[RowOut], path: str) -> None:

@@ -217,15 +217,25 @@ def _decoder_blocks(
                              # accept different draft lengths)
     self_mask,               # [S, S_max] (or [B, 1, S, S_max]) mask or None
     precision,
+    cross_len: Optional[int] = None,  # true encoder length when the cross
+                                      # cache is head-packed (see below)
 ):
     """Run all decoder blocks via scan, updating the self-attn cache at
     positions [pos, pos+S) and attending per `self_mask`."""
     dec = params["decoder"]
     h = dims.decoder_heads
     s = x.shape[1]
+    # Head-packed int8 cross cache (pack_cross_cache): keep the K/V arrays
+    # OUT of the scan xs — the decode-step kernel indexes the layer itself
+    # via scalar prefetch, so no per-layer slice is ever materialized.
+    packed_cross = cache.cross_k.shape[-1] == 128 and cross_len is not None
 
     def block(x, layer):
-        p, sk, sv, ck, cv, cks, cvs = layer
+        if packed_cross:
+            li, p, sk, sv = layer
+            ck = cv = cks = cvs = None
+        else:
+            p, sk, sv, ck, cv, cks, cvs = layer
         # --- causal self-attention against the static cache ---
         r = _layer_norm(x, p["ln_s"], p["ln_b"])
         q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
@@ -248,7 +258,25 @@ def _decoder_blocks(
         # --- cross-attention (KV precomputed at prefill) ---
         r = _layer_norm(x, p["x_ln_s"], p["x_ln_b"])
         q = _split_heads(_dense(r, p["xq_w"], p["xq_b"], precision), h)
-        if cks is not None:
+        if packed_cross:
+            # Head-packed int8 cache (pack_cross_cache): the decode-step
+            # Pallas kernel streams full 128-lane tiles — the XLA layout
+            # at head_dim=64 only fills half a tile (docs/ROADMAP.md §1).
+            from whisper_tpu.ops.cross_attention import (
+                cross_attend_step_packed,
+            )
+
+            dh = dims.head_dim
+            qs = q[:, :, 0, :] * jnp.asarray(dh, q.dtype) ** -0.5
+            ctx = cross_attend_step_packed(
+                qs, cache.cross_k, cache.cross_v,
+                cache.cross_k_scale[:, :, :, 0, 0],
+                cache.cross_v_scale[:, :, :, 0, 0],
+                li, s_valid=cross_len,
+                interpret=jax.default_backend() != "tpu",
+            )
+            o = ctx[:, :, None, :]
+        elif cks is not None:
             o = _attend_int8(q, ck, cv, cks, cvs, precision)
         else:
             o = _attend(q, ck, cv, None, precision)
@@ -261,8 +289,12 @@ def _decoder_blocks(
         x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
         return x, (sk, sv)
 
-    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
-          cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
+    if packed_cross:
+        xs = (jnp.arange(dims.decoder_layers, dtype=jnp.int32),
+              dec["blocks"], cache.self_k, cache.self_v)
+    else:
+        xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
+              cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
     x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
     x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
     return x, cache._replace(self_k=new_sk, self_v=new_sv)
@@ -287,6 +319,18 @@ def _attend_int8(q, k8, v8, k_scale, v_scale, precision):
                      precision=precision,
                      preferred_element_type=jnp.float32)
     return (ctx * v_scale).astype(q.dtype)
+
+
+def pack_cross_cache(cache: KVCache) -> KVCache:
+    """Repack the int8 cross K/V to the head-packed [L,B,H/2,S_pad,128]
+    layout consumed by the decode-step kernel (ops/cross_attention.py).
+    One-time relayout after prefill; detected downstream by lane width."""
+    from whisper_tpu.ops.cross_attention import pack_cross_kv
+
+    return cache._replace(
+        cross_k=pack_cross_kv(cache.cross_k),
+        cross_v=pack_cross_kv(cache.cross_v),
+    )
 
 
 def quantize_cross_kv(cache: KVCache) -> KVCache:
@@ -380,6 +424,62 @@ def decoder_prefill(
     return _logits(params, x, precision), cache
 
 
+def decoder_alignment_weights(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jax.Array,        # [B, P] int32 (prompt + generated, padded)
+    enc_states: jax.Array,    # [B, T_enc, d]
+    *,
+    precision=None,
+) -> jax.Array:
+    """Teacher-forced pass returning cross-attention probabilities
+    [L, B, H, P, T_enc] — the raw material for word-level timestamp
+    alignment (openai-whisper's find_alignment attention hooks; a
+    capability the comparison SUT faster-whisper exposes,
+    ref benchmark_faster_whisper.py:113-122, and the Rust SUT lacks)."""
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    b, p = tokens.shape
+    h = dims.decoder_heads
+    x = dec["tok_emb"][tokens] + dec["pos_embed"][:p].astype(dtype)
+    causal = jnp.tril(jnp.ones((p, p), dtype=bool))[None, None]
+
+    def block(x, pblk):
+        r = _layer_norm(x, pblk["ln_s"], pblk["ln_b"])
+        q = _split_heads(_dense(r, pblk["q_w"], pblk["q_b"], precision), h)
+        k = _split_heads(_dense(r, pblk["k_w"], None, precision), h)
+        v = _split_heads(_dense(r, pblk["v_w"], pblk["v_b"], precision), h)
+        o = _attend(q, k, v, causal, precision)
+        x = x + _dense(_merge_heads(o), pblk["o_w"], pblk["o_b"], precision)
+
+        r = _layer_norm(x, pblk["x_ln_s"], pblk["x_ln_b"])
+        q = _split_heads(_dense(r, pblk["xq_w"], pblk["xq_b"], precision), h)
+        ck = _split_heads(
+            _dense(enc_states.astype(dtype), pblk["xk_w"], None, precision), h
+        )
+        cv = _split_heads(
+            _dense(enc_states.astype(dtype), pblk["xv_w"], pblk["xv_b"],
+                   precision), h
+        )
+        dh = q.shape[-1]
+        qs = q * jnp.asarray(dh, q.dtype) ** -0.5
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ck, precision=precision,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), cv,
+                       precision=precision, preferred_element_type=q.dtype)
+        x = x + _dense(_merge_heads(o), pblk["xo_w"], pblk["xo_b"], precision)
+
+        r = _layer_norm(x, pblk["mlp_ln_s"], pblk["mlp_ln_b"])
+        r = jax.nn.gelu(_dense(r, pblk["fc1_w"], pblk["fc1_b"], precision),
+                        approximate=False)
+        x = x + _dense(r, pblk["fc2_w"], pblk["fc2_b"], precision)
+        return x, probs
+
+    _, probs = jax.lax.scan(block, x, dec["blocks"])
+    return probs
+
+
 def decoder_step(
     params: Params,
     dims: WhisperDims,
@@ -389,6 +489,7 @@ def decoder_step(
     *,
     precision=None,
     pad_count: Optional[jax.Array] = None,  # [B] left-pad slots in the cache
+    cross_len: Optional[int] = None,        # encoder length (packed cross)
 ) -> tuple[jax.Array, KVCache]:
     """One-token decoder pass against the static cache; logits [B, V].
 
@@ -424,5 +525,6 @@ def decoder_step(
         )[:, None, None, :]                               # [B, 1, 1, S_max]
     x = dec["tok_emb"][token][:, None, :] + pos_emb
 
-    x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision)
+    x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision,
+                               cross_len=cross_len)
     return _logits(params, x, precision)[:, 0, :], cache

@@ -79,13 +79,18 @@ def transcribe_longform(
     num_beams: int = 1,
     length_penalty: float = 1.0,
     precomputed_mel: Optional[Tuple] = None,
+    word_collector: Optional[list] = None,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
     (stitched text, Timing).
 
     precomputed_mel: optional (device_mel, total_frames) pair, e.g. uploaded
     and computed by a prefetcher while the previous file was decoding —
-    preprocess_s then only measures the residual wait."""
+    preprocess_s then only measures the residual wait.
+
+    word_collector: pass a list to also produce word-level timestamps
+    (cross-attention DTW, pipeline/words.py) — it is extended with
+    {word, start, end} dicts in absolute file time, per decoded chunk."""
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
 
@@ -179,6 +184,30 @@ def transcribe_longform(
         if text.strip():
             texts.append(text)
     full_text = stitch_texts(texts)
+
+    if word_collector is not None:
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+        from whisper_tpu.pipeline.words import align_chunk_words
+
+        import jax.numpy as jnp
+
+        mel_pad = jnp.pad(mel_dev, ((0, 0), (0, CHUNK_FRAMES)))
+        for i, row in enumerate(tokens):
+            gen = [t for t in strip_generated(row, special.eot)
+                   if t < ts_begin]  # text tokens only
+            if not gen:
+                continue
+            chunk_mel = jax.lax.dynamic_slice(
+                mel_pad, (0, frame_starts[i]),
+                (session.dims.n_mels, CHUNK_FRAMES),
+            )
+            words = align_chunk_words(
+                session, chunk_mel, prompt, gen, tokenizer,
+                offset_s=frame_starts[i] * 0.01,
+                audio_len_s=min(30.0,
+                                (total_frames - frame_starts[i]) * 0.01),
+            )
+            word_collector.extend(w.to_dict() for w in words)
     decode_s = time.perf_counter() - td0
 
     timing = Timing(

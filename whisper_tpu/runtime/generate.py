@@ -60,6 +60,9 @@ def greedy_generate(
     pad_count=None,               # [B] int32: left-pad slots in the prompt
                                   # (previous-text conditioning with static
                                   # shapes; see models/whisper.py)
+    packed_cross: bool = False,   # head-packed int8 cross-KV: repack after
+                                  # prefill so steps stream full 128-lane
+                                  # tiles (ops/cross_attention.py)
 ):
     """Returns generated tokens [B, max_new_tokens] (prompt excluded) —
     plus (sum_logprob [B], n_tokens [B]) when return_logprobs is set (the
@@ -108,6 +111,11 @@ def greedy_generate(
         params, dims, tokens, enc_states, max_len, precision=precision,
         int8_cross_kv=int8_cross_kv, prompt_mask=prompt_mask,
     )
+    cross_len = None
+    if (packed_cross and int8_cross_kv and step_weights is None
+            and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
+        cache = whisper.pack_cross_cache(cache)
+        cross_len = enc_states.shape[1]
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None
     if ts_cfg is not None:
@@ -144,7 +152,7 @@ def greedy_generate(
         else:
             step_logits, cache = whisper.decoder_step(
                 params, dims, last, p + i - 1, cache, precision=precision,
-                pad_count=pad_count,
+                pad_count=pad_count, cross_len=cross_len,
             )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

@@ -65,6 +65,8 @@ class RuntimeCfg:
     fused_attention: bool = False  # VMEM-resident encoder attention (x3+)
     int8_weights: bool = False    # per-channel int8 matmul weights (x4/int8)
     int8_kv_cache: bool = False   # int8 cross-KV cache (x4/int8)
+    packed_cross_kv: bool = False  # head-packed decode cross-attn kernel
+                                   # (x4; streams int8 KV at full lanes)
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -224,6 +226,12 @@ class WhisperSession:
             from whisper_tpu.ops.decoder_kernels import build_step_weights
 
             self._step_weights = build_step_weights(self.params, dims)
+        # Head-packed decode cross-attention (x4): single-chip only — the
+        # Pallas custom call does not partition under a mesh.
+        self._packed_cross = bool(
+            self.cfg.packed_cross_kv and self.cfg.int8_kv_cache
+            and self._mesh is None
+        )
         self._fns: Dict[Tuple[int, int, int], object] = {}
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
 
@@ -253,6 +261,7 @@ class WhisperSession:
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
                     int8_cross_kv=self.cfg.int8_kv_cache,
+                    packed_cross=self._packed_cross,
                     step_weights=sw,
                     precision=precision,
                 )
@@ -359,6 +368,7 @@ class WhisperSession:
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
+                    packed_cross=self._packed_cross,
                     step_weights=None if conditioned else sw,
                     temperature=temperature, rng_key=rng,
                     return_logprobs=with_scores,
@@ -464,6 +474,7 @@ class WhisperSession:
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
+                    packed_cross=self._packed_cross,
                     precision=precision,
                 )
 
@@ -496,6 +507,36 @@ class WhisperSession:
         return np.asarray(toks)
 
     # -- speculative decoding (single-stream latency path) -------------------
+
+    def alignment_weights(self, mel_chunk: np.ndarray, prompt: list,
+                          gen_tokens: list) -> np.ndarray:
+        """Cross-attention probabilities [L, H, P_pad, T_enc] for one
+        decoded chunk (teacher-forced; word-timestamp alignment).
+
+        Token rows are padded to the next multiple of 16 so a handful of
+        compiled programs serve any generation length."""
+        n = len(prompt) + len(gen_tokens)
+        p_pad = max(16, -(-n // 16) * 16)
+        toks = np.zeros(p_pad, dtype=np.int32)
+        toks[:n] = np.asarray(prompt + gen_tokens, dtype=np.int32)
+
+        key = ("align", p_pad)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+            fused_attn = self.cfg.fused_attention
+
+            def run(params, mel, tokens):
+                enc = whisper.encoder_apply(params, dims, mel[None],
+                                            precision=precision,
+                                            fused_attention=fused_attn)
+                return whisper.decoder_alignment_weights(
+                    params, dims, tokens[None], enc, precision=precision
+                )[:, 0]
+
+            self._fns[key] = jax.jit(run)
+        w = self._fns[key](self.params, jnp.asarray(mel_chunk),
+                           jnp.asarray(toks))
+        return np.asarray(w.astype(jnp.float32))
 
     def set_draft_model(self, draft_params, draft_dims: WhisperDims) -> None:
         """Attach a draft model (e.g. a distil decoder) for speculative
