@@ -24,6 +24,12 @@
 #                   reference-format rows and TPU rows (whisper_tpu/suts/).
 #   COMPARISON_MODEL_DIR  model assets for the comparison SUTs (default:
 #                   MODEL_ID + --allow-random-init where supported)
+#   CPUSET          pin every SUT to these host cores via taskset, e.g.
+#                   "0-3" (the reference's docker --cpuset-cpus,
+#                   run_container_benchmarks.sh:95-98)
+#   MEMORY_CAP_GB   cap each SUT's host address space via ulimit -v (the
+#                   reference's docker --memory; MaxRSS rows then reflect
+#                   a capped run like the reference's do)
 set -euo pipefail
 
 AUDIO_DIR=${AUDIO_DIR:-audio}
@@ -41,6 +47,8 @@ SUT_NAME=${SUT_NAME:-$(hostname)}
 CORE_COUNT=${CORE_COUNT:-$(nproc)}
 MEMORY_GB=${MEMORY_GB:-$(awk '/MemTotal/ {printf "%d", $2/1048576}' /proc/meminfo)}
 MERGE_ONLY=${MERGE_ONLY:-0}
+CPUSET=${CPUSET:-}
+MEMORY_CAP_GB=${MEMORY_CAP_GB:-}
 COMPARISON_SUTS=${COMPARISON_SUTS:-}
 COMPARISON_MODEL_DIR=${COMPARISON_MODEL_DIR:-}
 if [ "$COMPARISON_SUTS" = "auto" ]; then
@@ -48,6 +56,20 @@ if [ "$COMPARISON_SUTS" = "auto" ]; then
 fi
 
 mkdir -p "$OUT_ROOT/logs"
+
+# Resource caps (reference: docker --cpuset-cpus/--memory; here taskset +
+# ulimit -v in a subshell so every SUT row is measured under the same cap).
+capped() {
+  local ULIMIT_CMD=""
+  if [ -n "$MEMORY_CAP_GB" ]; then
+    ULIMIT_CMD="ulimit -v $((MEMORY_CAP_GB * 1024 * 1024));"
+  fi
+  if [ -n "$CPUSET" ]; then
+    bash -c "$ULIMIT_CMD exec taskset -c $CPUSET \"\$@\"" _ "$@"
+  else
+    bash -c "$ULIMIT_CMD exec \"\$@\"" _ "$@"
+  fi
+}
 
 variant_subdir() {
   case "$1" in
@@ -69,7 +91,7 @@ if [ "$MERGE_ONLY" != "1" ]; then
       MODEL_ARGS+=(--onnx-dir "$OUT_ROOT/.no-model" --allow-random-init)
     fi
     echo "== SUT whisper-tpu variant=$VARIANT -> $OUT_DIR"
-    python -m whisper_tpu.results.timed_run "$OUT_ROOT/logs/$SUB.time.txt" -- \
+    capped python -m whisper_tpu.results.timed_run "$OUT_ROOT/logs/$SUB.time.txt" -- \
       python -m whisper_tpu.bench \
         --audio-dir "$AUDIO_DIR" \
         --model-id "$MODEL_ID" \
@@ -104,7 +126,7 @@ if [ "$MERGE_ONLY" != "1" ]; then
     fi
     echo "== comparison SUT $MODULE -> $OUT_DIR"
     set +e
-    python -m whisper_tpu.results.timed_run "$OUT_ROOT/logs/$SUBDIR.time.txt" -- \
+    capped python -m whisper_tpu.results.timed_run "$OUT_ROOT/logs/$SUBDIR.time.txt" -- \
       python -m "whisper_tpu.suts.$MODULE" "${CMP_ARGS[@]}" "$@"
     local RC=$?
     set -e
