@@ -1,0 +1,118 @@
+"""Head-packed decode cross-attention kernel: parity vs the XLA int8 path.
+
+The kernel (ops/cross_attention.py) must reproduce models/whisper's
+_attend_int8 semantics exactly up to fp accumulation order; the pack/unpack
+relayout must be lossless.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.models import whisper
+from whisper_tpu.models.convert import init_params
+from whisper_tpu.models.registry import WhisperDims
+from whisper_tpu.ops.cross_attention import pack_cross_kv
+from whisper_tpu.runtime.generate import build_suppress_mask, greedy_generate
+
+DIMS = WhisperDims(
+    n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+    decoder_layers=2, decoder_heads=2, vocab_size=256,
+    max_source_positions=96, max_target_positions=32,
+)  # head_dim = 64 -> one packed head pair per layer
+
+
+def test_pack_roundtrip_lossless():
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, (2, 3, 4, 50, 64), dtype=np.int8)
+    packed = np.asarray(pack_cross_kv(jnp.asarray(x)))
+    l, b, g, s_pad, lanes = packed.shape
+    assert (g, lanes) == (2, 128) and s_pad % 32 == 0
+    unpacked = packed.reshape(l, b, g, s_pad, 2, 64)[:, :, :, :50]
+    unpacked = np.swapaxes(unpacked, 3, 4).reshape(l, b, 4, 50, 64)
+    np.testing.assert_array_equal(unpacked, x)
+    # Padding rows are zero.
+    assert not packed[:, :, :, 50:, :].any()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(DIMS, seed=3)
+    rng = np.random.default_rng(1)
+    mel = rng.normal(0, 1, (3, DIMS.n_mels, 2 * DIMS.max_source_positions))
+    enc = whisper.encoder_apply(params, DIMS, jnp.asarray(mel, jnp.float32))
+    return params, enc
+
+
+def test_packed_step_logits_match_xla_int8(setup):
+    """decoder_step over the packed cache (Pallas kernel, interpret on CPU)
+    vs the unpacked _attend_int8 path — logits equal to fp tolerance."""
+    params, enc = setup
+    prompt = jnp.asarray([[3, 5], [7, 9], [2, 4]], dtype=jnp.int32)
+    logits, cache = whisper.decoder_prefill(
+        params, DIMS, prompt, enc, max_len=12, int8_cross_kv=True
+    )
+    packed = whisper.pack_cross_cache(cache)
+
+    tok = jnp.asarray([10, 11, 12], dtype=jnp.int32)
+    want, _ = whisper.decoder_step(params, DIMS, tok, jnp.int32(2), cache)
+    got, _ = whisper.decoder_step(
+        params, DIMS, tok, jnp.int32(2), packed,
+        cross_len=DIMS.max_source_positions,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-3, rtol=0
+    )
+
+
+def test_packed_greedy_chain_matches_unpacked(setup):
+    params, enc = setup
+    mask = jnp.asarray(build_suppress_mask(DIMS.vocab_size, []))
+    prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+    want = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=10, eot_id=2, int8_cross_kv=True,
+    ))
+    got = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=10, eot_id=2, int8_cross_kv=True, packed_cross=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_session_x4_with_packed_kernel():
+    """The x4 session path end-to-end with the packed kernel enabled
+    (head_dim=64 model) — runs and matches the unpacked session."""
+    import dataclasses
+
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.variants.ladder import apply_variant
+
+    dims = WhisperDims(
+        n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+        decoder_layers=2, decoder_heads=2, vocab_size=256,
+        max_source_positions=1500, max_target_positions=32,
+    )
+    params = init_params(dims, seed=5)
+    rng = np.random.default_rng(2)
+    mel = np.zeros((2, dims.n_mels, 3000), dtype=np.float32)
+    mel[:, :, :192] = rng.normal(0, 1, (2, dims.n_mels, 192))
+
+    cfg4, _ = apply_variant(RuntimeCfg(max_batch=2), "x4")
+    # fused_frontend/attention off: not the subject here, and interpret-mode
+    # encoder attention at this size is slow on CPU.
+    cfg4 = dataclasses.replace(cfg4, fused_frontend=False,
+                               fused_attention=False)
+    assert cfg4.packed_cross_kv
+    sess = WhisperSession(params, dims, cfg4)
+    assert sess._packed_cross
+    toks = sess.transcribe_chunks(mel, prompt=[3], max_new_tokens=6, eot_id=2)
+
+    cfg_plain = dataclasses.replace(cfg4, packed_cross_kv=False)
+    sess2 = WhisperSession(params, dims, cfg_plain)
+    assert not sess2._packed_cross
+    want = sess2.transcribe_chunks(mel, prompt=[3], max_new_tokens=6,
+                                   eot_id=2)
+    np.testing.assert_array_equal(toks, want)

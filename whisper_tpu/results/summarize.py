@@ -1,0 +1,171 @@
+"""Cross-SUT summary table builder — schema-identical to the reference's
+compare_container_benchmarks.py output (summary_table.md / summary_table.csv
+with ``implementation,precision,beam_size,time_s,ram_mb``), with the TPU
+SUT rows added to the reference's six.
+
+Extraction contract (compare_container_benchmarks.py:76-116,184):
+- time = e2e latency stat with fallback chain p95 > p90 > median > mean >
+  max > min; falls back to the /usr/bin/time wall clock when no summary;
+- beam_size from config_used.num_beams/beam_size (default 1);
+- precision from config_used.compute_type when present (faster-whisper),
+  else the SUT's declared precision — extended here to read
+  config_used.dtype/int8_weights for TPU summaries;
+- RAM = MaxRSS(KB) -> MB.
+
+Run: python -m whisper_tpu.results.summarize --results-dir D --log-dir L
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+from whisper_tpu.results.timelog import parse_time_log
+
+# label, declared precision, summary subdir, time-log name
+DEFAULT_SUTS = [
+    ("openai/whisper (HF pipeline)", "fp32", "with_hf_pipeline"),
+    ("onnxruntime python (no HF pipeline)", "fp32", "without_hf_pipeline_py"),
+    ("onnxruntime rust (no HF pipeline)", "fp32", "without_hf_pipeline_rust"),
+    ("onnxruntime rust (int8)", "int8", "without_hf_pipeline_rust_int8"),
+    ("faster-whisper (fp32)", "float32", "faster_whisper_fp32"),
+    ("faster-whisper (int8)", "int8", "faster_whisper_int8"),
+    ("whisper-tpu (bf16)", "bf16", "whisper_tpu_bf16"),
+    ("whisper-tpu (int8)", "int8", "whisper_tpu_int8"),
+    ("whisper-tpu (fp32 parity)", "fp32", "whisper_tpu_fp32"),
+]
+
+_STAT_FALLBACK = ("p95", "p90", "median", "mean", "max", "min")
+
+
+def _load_json(path: str) -> Dict:
+    if not os.path.isfile(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def extract_time_s(summary: Dict) -> Optional[float]:
+    block = summary.get("latency_end_to_end_s")
+    if not isinstance(block, dict):
+        return None
+    for key in _STAT_FALLBACK:
+        v = block.get(key)
+        try:
+            if v is not None:
+                return float(v)
+        except (TypeError, ValueError):
+            continue
+    return None
+
+
+def extract_beam_size(summary: Dict, fallback: int = 1) -> int:
+    cfg = summary.get("config_used") or {}
+    for key in ("num_beams", "beam_size"):
+        v = cfg.get(key)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str) and v.isdigit():
+            return int(v)
+    return fallback
+
+
+def extract_precision(summary: Dict, fallback: str) -> str:
+    cfg = summary.get("config_used") or {}
+    ct = cfg.get("compute_type")
+    if isinstance(ct, str):
+        lowered = ct.strip().lower()
+        return {"float32": "fp32", "fp32": "fp32",
+                "int8": "int8", "qint8": "int8"}.get(lowered, ct)
+    # TPU summaries: dtype + int8_weights
+    if cfg.get("int8_weights"):
+        return "int8"
+    dt = cfg.get("dtype")
+    if isinstance(dt, str):
+        return {"bfloat16": "bf16", "float32": "fp32"}.get(dt, dt)
+    return fallback
+
+
+def format_duration(seconds: Optional[float]) -> str:
+    if seconds is None:
+        return "n/a"
+    total = int(round(seconds))
+    h, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    if h:
+        return f"{h}h{m:02d}m{s:02d}s"
+    if m:
+        return f"{m}m{s:02d}s"
+    return f"{s}s"
+
+
+def build_rows(results_dir: str, log_dir: str,
+               suts=DEFAULT_SUTS) -> List[Dict]:
+    rows = []
+    for label, precision, subdir in suts:
+        summary = _load_json(
+            os.path.join(results_dir, subdir, "inference_summary.json")
+        )
+        elapsed, rss_kb = parse_time_log(
+            os.path.join(log_dir, f"{subdir}.time.txt")
+        )
+        if not summary and elapsed is None:
+            continue  # SUT not present in this run
+        time_s = extract_time_s(summary)
+        if time_s is None:
+            time_s = elapsed
+        rows.append({
+            "implementation": label,
+            "precision": extract_precision(summary, precision),
+            "beam_size": extract_beam_size(summary, 1),
+            "time_s": None if time_s is None else round(time_s, 3),
+            "time": format_duration(time_s),
+            "ram_mb": None if rss_kb is None else int(round(rss_kb / 1024.0)),
+            "ram": "n/a" if rss_kb is None else f"{int(round(rss_kb / 1024.0))}MB",
+        })
+    return rows
+
+
+def write_summary_table(rows: List[Dict], out_md: str, out_csv: str) -> None:
+    for p in (out_md, out_csv):
+        d = os.path.dirname(p)
+        if d:
+            os.makedirs(d, exist_ok=True)
+    with open(out_md, "w", encoding="utf-8") as f:
+        f.write("| Implementation | Precision | Beam size | Time | RAM Usage |\n")
+        f.write("| --- | --- | --- | --- | --- |\n")
+        for r in rows:
+            f.write(f"| {r['implementation']} | {r['precision']} | "
+                    f"{r['beam_size']} | {r['time']} | {r['ram']} |\n")
+    with open(out_csv, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "implementation", "precision", "beam_size", "time_s", "ram_mb",
+        ], extrasaction="ignore")
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--results-dir", default="results/benchmarks/container_4c4g")
+    ap.add_argument("--log-dir", default="")
+    ap.add_argument("--out-md", default="")
+    ap.add_argument("--out-csv", default="")
+    args = ap.parse_args(argv)
+    log_dir = args.log_dir or os.path.join(args.results_dir, "logs")
+    out_md = args.out_md or os.path.join(args.results_dir, "summary_table.md")
+    out_csv = args.out_csv or os.path.join(args.results_dir, "summary_table.csv")
+    rows = build_rows(args.results_dir, log_dir)
+    write_summary_table(rows, out_md, out_csv)
+    print("Wrote summary table:", out_md)
+    print("Wrote summary csv:", out_csv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

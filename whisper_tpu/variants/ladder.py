@@ -39,6 +39,7 @@ class VariantSpec:
     fused_attention: bool = False
     int8_weights: bool = False
     int8_kv_cache: bool = False
+    packed_cross_kv: bool = False
     fused_decoder_step: bool = False
     audio_transfer: str = "int16"
 
@@ -55,7 +56,7 @@ LADDER: Dict[str, VariantSpec] = {
     "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weights + int8 KV",
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True, int8_weights=True,
-                      int8_kv_cache=True),
+                      int8_kv_cache=True, packed_cross_kv=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -77,6 +78,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             fused_attention=spec.fused_attention,
             int8_weights=spec.int8_weights,
             int8_kv_cache=spec.int8_kv_cache,
+            packed_cross_kv=spec.packed_cross_kv,
             fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
         ),
