@@ -82,6 +82,27 @@ def test_packed_greedy_chain_matches_unpacked(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_beam_packed_matches_unpacked(setup):
+    """Beam search over the packed cross cache (per-beam tiling + the
+    self-only beam regather) must reproduce the unpacked int8 beams."""
+    from whisper_tpu.runtime.beam import beam_generate
+
+    params, enc = setup
+    mask = jnp.asarray(build_suppress_mask(DIMS.vocab_size, []))
+    prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+    want, ws = beam_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=8, eot_id=2, num_beams=3, int8_cross_kv=True,
+    )
+    got, gs = beam_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=8, eot_id=2, num_beams=3, int8_cross_kv=True,
+        packed_cross=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-4)
+
+
 def test_session_x4_with_packed_kernel():
     """The x4 session path end-to-end with the packed kernel enabled
     (head_dim=64 model) — runs and matches the unpacked session."""

@@ -50,11 +50,31 @@ class TestQuantizeParams:
         assert isinstance(enc["blocks"]["q_w"], QTensor)
         assert isinstance(enc["blocks"]["fc2_w"], QTensor)
         assert isinstance(params["decoder"]["blocks"]["xk_w"], QTensor)
-        # conv / embeddings / norms / biases stay fp
+        # conv / embedding lookup / norms / biases stay fp
         assert not isinstance(enc["conv1_w"], QTensor)
         assert not isinstance(enc["blocks"]["q_b"], QTensor)
         assert not isinstance(params["decoder"]["tok_emb"], QTensor)
         assert not isinstance(enc["blocks"]["attn_ln_s"], QTensor)
+        # The tied-embedding OUTPUT projection is a MatMul in the exported
+        # ONNX decoder, so the reference's quantize_dynamic covers it:
+        # stored as a quantized [d, V] projection alongside the fp lookup.
+        assert isinstance(params["decoder"]["tok_emb_q"], QTensor)
+        assert params["decoder"]["tok_emb_q"].q.shape == (
+            params["decoder"]["tok_emb"].shape[1],
+            params["decoder"]["tok_emb"].shape[0],
+        )
+
+    def test_quantized_logits_projection_close(self):
+        from whisper_tpu.models import whisper
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=4)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1, (1, 3, dims.d_model)), jnp.float32)
+        want = np.asarray(whisper._logits(params, x, None))
+        got = np.asarray(whisper._logits(quantize_params(params), x, None))
+        assert np.abs(got - want).max() < 0.05
+        assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
 
     def test_forward_close_to_fp32(self):
         from whisper_tpu.models import whisper

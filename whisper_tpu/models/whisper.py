@@ -348,7 +348,18 @@ def quantize_cross_kv(cache: KVCache) -> KVCache:
 
 
 def _logits(params, x, precision):
-    """Tied output projection: x [B, S, d] @ tok_emb.T — computed in fp32."""
+    """Tied output projection: x [B, S, d] @ tok_emb.T — computed in fp32.
+
+    With int8 weights (x4), `tok_emb_q` holds the projection matrix [d, V]
+    quantized per vocab column (the exported ONNX decoder's logits MatMul,
+    which the reference's quantize_dynamic covers); the dequantize fuses
+    into the operand read, halving the dominant 53 MB/step weight stream.
+    """
+    emb_q = params["decoder"].get("tok_emb_q")
+    if emb_q is not None:
+        w = emb_q.q.astype(x.dtype) * emb_q.s.astype(x.dtype)   # [d, V]
+        return jnp.dot(x, w, precision=precision,
+                       preferred_element_type=jnp.float32)
     emb = params["decoder"]["tok_emb"]
     return jnp.dot(x, emb.T, precision=precision,
                    preferred_element_type=jnp.float32)

@@ -50,6 +50,7 @@ def beam_generate(
     *,
     ts_cfg=None,
     int8_cross_kv: bool = False,
+    packed_cross: bool = False,
     precision=None,
 ):
     """Returns (tokens [B, max_new_tokens] of the best beam, scores [B]).
@@ -77,6 +78,12 @@ def beam_generate(
     logp0 = jax.nn.log_softmax(first_logits, axis=-1)
     scores, first = jax.lax.top_k(logp0, k)          # [B, K]
     first = first.astype(jnp.int32)
+
+    cross_len = None
+    if (packed_cross and int8_cross_kv
+            and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
+        cache = whisper.pack_cross_cache(cache)
+        cross_len = enc_states.shape[1]
 
     # Tile cache per beam: [L, B, H, S, Dh] -> [L, B*K, H, S, Dh]
     # (scale fields [L, B, H, 1, 1] tile the same way; None passes through)
@@ -108,7 +115,7 @@ def beam_generate(
         i, buf, scores, last, done, lengths, cache, ts_state = state
         step_logits, new_cache = whisper.decoder_step(
             params, dims, last.reshape(b * k), p + i - 1, cache,
-            precision=precision,
+            precision=precision, cross_len=cross_len,
         )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:
@@ -131,10 +138,17 @@ def beam_generate(
         lengths = jnp.take_along_axis(lengths, parent, axis=1)
         lengths = jnp.where(prev_done, lengths, lengths + 1)
         done = jnp.logical_or(prev_done, tok == eot_id)
-        cache = whisper.KVCache(
-            *(None if x is None else
-              jax.vmap(lambda c: _gather_beams(c, parent, b, k))(x)
-              for x in new_cache)
+        # Only the SELF cache follows parent beams — the cross K/V (and
+        # its scales) are identical for every beam of a batch row, and
+        # regathering them would move the whole multi-MB cross cache per
+        # step for nothing.
+        cache = new_cache._replace(
+            self_k=jax.vmap(
+                lambda c: _gather_beams(c, parent, b, k)
+            )(new_cache.self_k),
+            self_v=jax.vmap(
+                lambda c: _gather_beams(c, parent, b, k)
+            )(new_cache.self_v),
         )
         if ts_cfg is not None:
             gathered = jax.tree.map(

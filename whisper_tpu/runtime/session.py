@@ -361,6 +361,7 @@ class WhisperSession:
                         num_beams=num_beams, length_penalty=length_penalty,
                         ts_cfg=ts_cfg,
                         int8_cross_kv=self.cfg.int8_kv_cache,
+                        packed_cross=self._packed_cross,
                         precision=precision,
                     )
                     return tokens

@@ -3,8 +3,11 @@ INT8 path (quantize_onnx_int8.py:28-45: ``quantize_dynamic(weight_type=
 QInt8, op_types_to_quantize=["MatMul","Gemm"])``).
 
 Scope matches the reference: ONLY matmul weights are quantized (attention
-q/k/v/o, cross-attention, MLP fc1/fc2) — convolutions, embeddings and
-LayerNorms stay floating point.  Storage is per-output-channel symmetric
+q/k/v/o, cross-attention, MLP fc1/fc2, and the tied-embedding OUTPUT
+projection, which the exported ONNX decoder expresses as a MatMul and
+quantize_dynamic therefore covers) — convolutions, the embedding LOOKUP
+table and LayerNorms stay floating point.  Storage is per-output-channel
+symmetric
 int8 with a float32 scale; at use the dequantize multiplies fuse into the
 matmul operand read, so the win is the halved HBM weight traffic that
 dominates the memory-bound decode loop (the same reason the reference's
@@ -54,7 +57,13 @@ def dequantize(qt: QTensor, dtype) -> jax.Array:
 
 def quantize_params(params: Dict) -> Dict:
     """Quantize all eligible block weights in a param pytree (encoder and
-    decoder transformer matmuls), leaving everything else untouched."""
+    decoder transformer matmuls), leaving everything else untouched.
+
+    The decoder additionally gains `tok_emb_q` — the tied embedding
+    quantized as the [d, V] logits-projection matrix (per-vocab-column
+    scales). The bf16 `tok_emb` stays for the embedding lookup (its gather
+    reads only B rows/step; the projection reads all 53 MB at whisper-base,
+    which is what int8 halves)."""
 
     def walk(node, in_blocks=False):
         if isinstance(node, dict):
@@ -68,7 +77,13 @@ def quantize_params(params: Dict) -> Dict:
             }
         return node
 
-    return walk(params)
+    out = walk(params)
+    dec = out.get("decoder")
+    if isinstance(dec, dict) and "tok_emb" in dec and "tok_emb_q" not in dec:
+        emb = dec["tok_emb"]
+        if not isinstance(emb, QTensor):
+            dec["tok_emb_q"] = quantize_tensor(np.asarray(emb).T)
+    return out
 
 
 def is_quantized(params: Dict) -> bool:
