@@ -332,3 +332,47 @@ class TestCli:
         jrows = json.load(open(out / "j.json"))
         # grammar forces timestamps even under beam search
         assert "<|" in jrows[0]["text"]
+
+
+class TestDCNFlags:
+    def test_dcn_flags_invoke_init_distributed(self, tmp_path, monkeypatch):
+        """--dcn-* flags must call parallel.mesh.init_distributed before
+        any session work (SURVEY.md §5.8; real pods provide the
+        coordinator — here the call itself is the contract)."""
+        import struct
+
+        import numpy as np
+
+        from whisper_tpu.bench import cli
+        from whisper_tpu.parallel import mesh
+
+        calls = {}
+
+        def fake_init(coordinator, num_processes, process_id):
+            calls["args"] = (coordinator, num_processes, process_id)
+
+        monkeypatch.setattr(mesh, "init_distributed", fake_init)
+
+        audio_dir = tmp_path / "a"
+        audio_dir.mkdir()
+        pcm = np.zeros(16000, dtype="<i2").tobytes()
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+            16, 1, 1, 16000, 32000, 2, 16, b"data", len(pcm))
+        (audio_dir / "x.wav").write_bytes(hdr + pcm)
+        out = tmp_path / "o"
+        rc = cli.main([
+            "--audio-dir", str(audio_dir),
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", str(tmp_path / "none"),
+            "--allow-random-init",
+            "--max-new-tokens", "2",
+            "--dcn-coordinator", "10.0.0.1:1234",
+            "--dcn-num-processes", "2",
+            "--dcn-process-id", "0",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+        ])
+        assert rc == 0
+        assert calls["args"] == ("10.0.0.1:1234", 2, 0)

@@ -122,3 +122,34 @@ class TestOrbaxFormat:
         a = np.asarray(params["decoder"]["tok_emb"])
         b = np.asarray(loaded["decoder"]["tok_emb"])
         np.testing.assert_array_equal(a, b)
+
+    def test_orbax_sharded_restore(self, tmp_path):
+        """Pod-style loading (ROADMAP §11): each leaf restores DIRECTLY
+        onto its mesh devices with the TP sharding rules — values equal
+        the unsharded checkpoint, spec follows the rules."""
+        pytest.importorskip("orbax.checkpoint")
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from whisper_tpu.models.convert import (
+            init_params,
+            load_params_orbax,
+            save_params_orbax,
+        )
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.parallel.mesh import make_mesh, param_shardings
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=8)
+        save_params_orbax(params, dims, str(tmp_path / "m"))
+
+        mesh = make_mesh(len(jax.devices()), model_parallel=2)
+        sh = param_shardings(params, mesh)
+        loaded, dims2 = load_params_orbax(str(tmp_path / "m"), shardings=sh)
+        assert dims2 == dims
+        w = loaded["decoder"]["blocks"]["fc1_w"]
+        assert w.sharding.spec == P(None, None, "model")
+        np.testing.assert_array_equal(
+            np.asarray(w), np.asarray(params["decoder"]["blocks"]["fc1_w"])
+        )
+        assert loaded["decoder"]["tok_emb"].sharding.spec == P()

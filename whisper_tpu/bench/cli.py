@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the measured loop "
                         "to this directory (TensorBoard-compatible)")
+    # Multi-host (DCN) launch: run one process per host with the same
+    # coordinator address; the ('data','model') mesh then spans all
+    # processes' devices (parallel.mesh.init_distributed; SURVEY.md §5.8 —
+    # the reference has no multi-device story at all).
+    p.add_argument("--dcn-coordinator", default="",
+                   help="coordinator address host:port for "
+                        "jax.distributed.initialize (multi-host pods)")
+    p.add_argument("--dcn-num-processes", type=int, default=0)
+    p.add_argument("--dcn-process-id", type=int, default=-1)
     return p
 
 
@@ -135,6 +144,13 @@ def _build_session(args, cfg):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Multi-host init must happen before any other jax backend use.
+    if args.dcn_coordinator:
+        from whisper_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.dcn_coordinator, args.dcn_num_processes,
+                         args.dcn_process_id)
 
     # Ensure output dirs (ref src/main.rs:1068-1071).
     for out in (args.out_csv, args.out_json, args.out_summary_json):

@@ -284,14 +284,39 @@ def save_params_orbax(params: Dict, dims: WhisperDims, model_dir: str) -> None:
                    "format": "orbax"}, f, indent=2)
 
 
-def load_params_orbax(model_dir: str, dtype=None) -> tuple[Dict, WhisperDims]:
+def load_params_orbax(model_dir: str, dtype=None,
+                      shardings=None) -> tuple[Dict, WhisperDims]:
+    """Restore an orbax checkpoint; with `shardings` (a NamedSharding
+    pytree, e.g. parallel.mesh.param_shardings over a pod mesh) each leaf
+    is restored DIRECTLY onto its devices — whisper-large params never
+    materialize unsharded on one host (ROADMAP §11, pod loading)."""
     import orbax.checkpoint as ocp
 
     with open(os.path.join(model_dir, CONFIG_FILE)) as f:
         cfg = json.load(f)
     dims = WhisperDims(**cfg["whisper_tpu_dims"])
     ckptr = ocp.PyTreeCheckpointer()
-    params = ckptr.restore(os.path.abspath(os.path.join(model_dir, "orbax")))
+    path = os.path.abspath(os.path.join(model_dir, "orbax"))
+    if shardings is not None:
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "tree", None)
+        if tree is None:
+            item = getattr(meta, "item_metadata", meta)
+            tree = getattr(item, "tree", item)
+
+        def as_restore_arg(sharding, m):
+            return ocp.ArrayRestoreArgs(
+                sharding=sharding,
+                global_shape=m.shape,
+                dtype=m.dtype,
+            )
+
+        restore_args = jax.tree.map(as_restore_arg, shardings, tree)
+        params = ckptr.restore(
+            path, restore_args=restore_args
+        )
+    else:
+        params = ckptr.restore(path)
     if dtype is not None:
         params = cast_params(params, dtype)
     return params, dims
