@@ -248,3 +248,113 @@ class TestServerStats:
         assert set(resp["stats"]) >= {"batches", "batched_requests", "longform"}
         stop()
         eng.close()
+
+
+class TestRouter:
+    """Multi-backend router: same protocol, least-in-flight routing,
+    merged stats, per-request error isolation (ROADMAP §9)."""
+
+    def _start(self, session, n_backends=2):
+        from whisper_tpu.serve.router import serve_router
+
+        engines, stops, backends = [], [], []
+        for _ in range(n_backends):
+            eng = StreamingEngine(
+                session, cfg=EngineConfig(max_new_tokens=2,
+                                          batch_window_ms=10))
+            port = _free_port()
+            stops.append(_start_server(eng, port))
+            engines.append(eng)
+            backends.append(("127.0.0.1", port))
+
+        rport = _free_port()
+        ready = threading.Event()
+        holder = {}
+
+        def run_loop():
+            async def main():
+                class Ev:
+                    def set(self):
+                        ready.set()
+
+                holder["loop"] = asyncio.get_running_loop()
+                holder["task"] = asyncio.current_task()
+                try:
+                    await serve_router(backends, "127.0.0.1", rport, Ev())
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        t = threading.Thread(target=run_loop, daemon=True)
+        t.start()
+        assert ready.wait(timeout=30)
+
+        def stop_all():
+            holder["loop"].call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=10)
+            for s in stops:
+                s()
+            for e in engines:
+                e.close()
+
+        return rport, engines, stop_all
+
+    def test_requests_spread_and_roundtrip(self, session):
+        import base64 as b64
+        import socket
+
+        rport, engines, stop_all = self._start(session)
+        try:
+            for e in engines:
+                pass  # engines warm lazily; tiny model compiles fast
+
+            def ask(i, out):
+                with socket.create_connection(("127.0.0.1", rport),
+                                              timeout=300) as s:
+                    pcm = (np.clip(_audio(1.0, seed=i), -1, 1)
+                           * 32767).astype("<i2")
+                    req = {"id": f"r{i}",
+                           "pcm16_b64": b64.b64encode(
+                               pcm.tobytes()).decode()}
+                    s.sendall((json.dumps(req) + "\n").encode())
+                    buf = b""
+                    while not buf.endswith(b"\n"):
+                        chunk = s.recv(65536)
+                        if not chunk:
+                            break
+                        buf += chunk
+                    out[i] = json.loads(buf)
+
+            out = {}
+            threads = [threading.Thread(target=ask, args=(i, out))
+                       for i in range(6)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=300)
+            assert set(out) == set(range(6))
+            for i, resp in out.items():
+                assert resp["id"] == f"r{i}" and "text" in resp
+            served = [e.stats["batched_requests"] for e in engines]
+            assert sum(served) == 6
+            assert all(s > 0 for s in served)  # both backends saw work
+        finally:
+            stop_all()
+
+    def test_merged_stats(self, session):
+        import socket
+
+        rport, engines, stop_all = self._start(session)
+        try:
+            with socket.create_connection(("127.0.0.1", rport),
+                                          timeout=60) as s:
+                s.sendall(b'{"id": "q", "stats": true}\n')
+                f = s.makefile()
+                resp = json.loads(f.readline())
+            assert resp["id"] == "q"
+            stats = resp["stats"]
+            assert "batches" in stats and "backends" in stats
+            assert len(stats["backends"]) == 2
+        finally:
+            stop_all()
