@@ -82,6 +82,26 @@ def test_packed_greedy_chain_matches_unpacked(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_greedy_with_left_padded_prompt(setup):
+    """Fully-packed step (self+cross kernels) under previous-text
+    conditioning: a left-padded prompt with pad_count must decode exactly
+    like the unpacked int8 path given the same padding."""
+    params, enc = setup
+    mask = jnp.asarray(build_suppress_mask(DIMS.vocab_size, []))
+    prompt = jnp.asarray([0, 0, 0, 7, 11, 3, 5], dtype=jnp.int32)
+    pads = jnp.asarray([3, 3, 3], dtype=jnp.int32)
+    want = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=8, eot_id=2, int8_cross_kv=True, pad_count=pads,
+    ))
+    got = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=8, eot_id=2, int8_cross_kv=True, pad_count=pads,
+        packed_cross=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_beam_packed_matches_unpacked(setup):
     """Beam search over the packed cross cache (per-beam tiling + the
     self-only beam regather) must reproduce the unpacked int8 beams."""

@@ -219,6 +219,7 @@ def _decoder_blocks(
     precision,
     cross_len: Optional[int] = None,  # true encoder length when the cross
                                       # cache is head-packed (see below)
+    pad_count=None,                   # [B] left-pad slots (packed-self path)
 ):
     """Run all decoder blocks via scan, updating the self-attn cache at
     positions [pos, pos+S) and attending per `self_mask`."""
@@ -229,6 +230,16 @@ def _decoder_blocks(
     # OUT of the scan xs — the decode-step kernel indexes the layer itself
     # via scalar prefetch, so no per-layer slice is ever materialized.
     packed_cross = cache.cross_k.shape[-1] == 128 and cross_len is not None
+    # Fully-packed decode step: the SELF cache is head-packed too
+    # (pack_self_cache) and updated in place by its own kernel — no carry
+    # copies, no dynamic-slice fusions (ops/self_attention.py).
+    packed_self = (packed_cross and cache.self_k.shape[-1] == 128
+                   and s == 1 and pos.ndim == 0)
+
+    if packed_self:
+        return _decoder_blocks_packed(
+            params, dims, x, cache, pos, precision, cross_len, pad_count
+        )
 
     def block(x, layer):
         if packed_cross:
@@ -296,6 +307,75 @@ def _decoder_blocks(
         xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
               cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
     x, (new_sk, new_sv) = jax.lax.scan(block, x, xs)
+    x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
+    return x, cache._replace(self_k=new_sk, self_v=new_sv)
+
+
+def _decoder_blocks_packed(
+    params: Params,
+    dims: WhisperDims,
+    x: jax.Array,            # [B, 1, d]
+    cache: KVCache,
+    pos: jax.Array,          # scalar int32
+    precision,
+    cross_len: int,
+    pad_count,
+):
+    """Single-token decoder step with BOTH caches head-packed: self
+    attention + in-place cache update in one Pallas kernel per layer, cross
+    attention in another; the packed caches ride the scan carry and are
+    donated through the kernels (input_output_aliases)."""
+    from whisper_tpu.ops.cross_attention import cross_attend_step_packed
+    from whisper_tpu.ops.self_attention import self_attend_step_packed
+
+    dec = params["decoder"]
+    h = dims.decoder_heads
+    dh = dims.head_dim
+    interp = jax.default_backend() != "tpu"
+    b = x.shape[0]
+    pads = (jnp.zeros((b,), jnp.int32) if pad_count is None
+            else jnp.broadcast_to(jnp.asarray(pad_count, jnp.int32), (b,)))
+    scale = jnp.asarray(dh, x.dtype) ** -0.5
+
+    def block(carry, layer):
+        x, sk_full, sv_full = carry
+        li, p = layer
+        # --- self-attention (packed kernel: attend + in-place KV write) ---
+        r = _layer_norm(x, p["ln_s"], p["ln_b"])
+        q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
+        k = _split_heads(_dense(r, p["k_w"], None, precision), h)
+        v = _split_heads(_dense(r, p["v_w"], p["v_b"], precision), h)
+        ctx, sk_full, sv_full = self_attend_step_packed(
+            q[:, :, 0, :] * scale, k[:, :, 0, :], v[:, :, 0, :],
+            sk_full, sv_full, li, pos, pads, interpret=interp,
+        )
+        x = x + _dense(_merge_heads(ctx[:, :, None, :]), p["o_w"], p["o_b"],
+                       precision)
+
+        # --- cross-attention (packed kernel) ---
+        r = _layer_norm(x, p["x_ln_s"], p["x_ln_b"])
+        q = _split_heads(_dense(r, p["xq_w"], p["xq_b"], precision), h)
+        ctx = cross_attend_step_packed(
+            q[:, :, 0, :] * scale.astype(q.dtype),
+            cache.cross_k, cache.cross_v,
+            cache.cross_k_scale[:, :, :, 0, 0],
+            cache.cross_v_scale[:, :, :, 0, 0],
+            li, s_valid=cross_len, interpret=interp,
+        )
+        x = x + _dense(_merge_heads(ctx[:, :, None, :]), p["xo_w"],
+                       p["xo_b"], precision)
+
+        # --- MLP ---
+        r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])
+        r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision),
+                        approximate=False)
+        x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
+        return (x, sk_full, sv_full), None
+
+    xs = (jnp.arange(dims.decoder_layers, dtype=jnp.int32), dec["blocks"])
+    (x, new_sk, new_sv), _ = jax.lax.scan(
+        block, (x, cache.self_k, cache.self_v), xs
+    )
     x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
     return x, cache._replace(self_k=new_sk, self_v=new_sv)
 
@@ -537,5 +617,5 @@ def decoder_step(
     x = dec["tok_emb"][token][:, None, :] + pos_emb
 
     x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision,
-                               cross_len=cross_len)
+                               cross_len=cross_len, pad_count=pad_count)
     return _logits(params, x, precision)[:, 0, :], cache

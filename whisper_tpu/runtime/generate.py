@@ -114,7 +114,15 @@ def greedy_generate(
     cross_len = None
     if (packed_cross and int8_cross_kv and step_weights is None
             and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
+        from whisper_tpu.ops.self_attention import pack_self_cache
+
         cache = whisper.pack_cross_cache(cache)
+        # Pack the self cache too: the step then runs fully on the packed
+        # kernels with in-place KV updates (ops/self_attention.py).
+        cache = cache._replace(
+            self_k=pack_self_cache(cache.self_k),
+            self_v=pack_self_cache(cache.self_v),
+        )
         cross_len = enc_states.shape[1]
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None
