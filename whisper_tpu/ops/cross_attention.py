@@ -99,6 +99,9 @@ def _kernel(layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, *,
         denom = jnp.sum(e, axis=0, keepdims=True)                # [1, 2]
         probs = e / denom                                        # [S_pad, 2]
 
+        # PV stays on the VPU: the A^T-B dot_general form measured ~20%
+        # SLOWER end to end (Mosaic materializes a transpose); the
+        # selector-dot broadcast + multiply + sublane-reduce wins.
         pm = jnp.dot(probs, sel.T,
                      preferred_element_type=jnp.float32)         # [S_pad,128]
         pm = pm.astype(pv_dtype)

@@ -87,6 +87,8 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
         e = jnp.exp(scores - m)
         probs = e / jnp.sum(e, axis=0, keepdims=True)            # [S_pad,2]
 
+        # PV on the VPU (the A^T-B dot_general form measured slower; see
+        # cross_attention.py).
         pm = jnp.dot(probs, sel.T,
                      preferred_element_type=jnp.float32).astype(pv_dtype)
         ctx = jnp.sum((pm * vb.astype(pv_dtype)).astype(jnp.float32),
