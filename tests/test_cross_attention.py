@@ -123,6 +123,72 @@ def test_beam_packed_matches_unpacked(setup):
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-4)
 
 
+def test_pack_transposed_roundtrip():
+    from whisper_tpu.ops.cross_attention import pack_cross_kv_t
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, (2, 3, 4, 50, 64), dtype=np.int8)
+    pt = np.asarray(pack_cross_kv_t(jnp.asarray(x)))
+    assert pt.shape[3] == 128  # [L, B, G, 128, S_pad]
+    np.testing.assert_array_equal(
+        np.swapaxes(pt, 3, 4), np.asarray(pack_cross_kv(jnp.asarray(x)))
+    )
+
+
+def test_int8_mxu_step_close_to_fp32_dequant(setup):
+    """x5 kernel (int8 MXU dots: quantized q + 7-bit probs) vs the
+    fp32-dequant packed path: same argmax chain, logits close.  The probs
+    quantization bounds the cross-attention output error at ~0.5/127 per
+    softmax mass unit; downstream LayerNorms keep logits within ~5%."""
+    params, enc = setup
+    prompt = jnp.asarray([[3, 5], [7, 9], [2, 4]], dtype=jnp.int32)
+    _, cache = whisper.decoder_prefill(
+        params, DIMS, prompt, enc, max_len=12, int8_cross_kv=True
+    )
+    packed = whisper.pack_cross_cache(cache)
+    packed_t = whisper.pack_cross_cache(cache, transpose_k=True)
+    tok = jnp.asarray([10, 11, 12], dtype=jnp.int32)
+    want, _ = whisper.decoder_step(
+        params, DIMS, tok, jnp.int32(2), packed,
+        cross_len=DIMS.max_source_positions,
+    )
+    got, _ = whisper.decoder_step(
+        params, DIMS, tok, jnp.int32(2), packed_t,
+        cross_len=DIMS.max_source_positions, int8_mxu=True,
+    )
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    assert np.argmax(g, -1).tolist() == np.argmax(w, -1).tolist()
+    np.testing.assert_allclose(g, w, atol=0.05 * np.abs(w).max(), rtol=0)
+
+
+def test_int8_mxu_greedy_chain_matches(setup):
+    """Greedy chains under the x5 kernel match the x4 packed path at toy
+    scale (quantization noise far below the argmax margins here)."""
+    params, enc = setup
+    mask = jnp.asarray(build_suppress_mask(DIMS.vocab_size, []))
+    prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+    want = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=10, eot_id=2, int8_cross_kv=True, packed_cross=True,
+    ))
+    got = np.asarray(greedy_generate(
+        params, DIMS, enc, prompt, mask, mask,
+        max_new_tokens=10, eot_id=2, int8_cross_kv=True, packed_cross=True,
+        int8_mxu=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ladder_x5_spec():
+    from whisper_tpu.runtime.session import RuntimeCfg
+    from whisper_tpu.variants.ladder import apply_variant
+
+    cfg, spec = apply_variant(RuntimeCfg(), "x5")
+    assert spec.int8_mxu_attn and spec.packed_cross_kv and spec.int8_kv_cache
+    assert cfg.int8_mxu_attn and cfg.packed_cross_kv
+
+
 def test_session_x4_with_packed_kernel():
     """The x4 session path end-to-end with the packed kernel enabled
     (head_dim=64 model) — runs and matches the unpacked session."""

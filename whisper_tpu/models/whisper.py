@@ -220,6 +220,7 @@ def _decoder_blocks(
     cross_len: Optional[int] = None,  # true encoder length when the cross
                                       # cache is head-packed (see below)
     pad_count=None,                   # [B] left-pad slots (packed-self path)
+    int8_mxu: bool = False,           # int8xint8 MXU attention dots (x5)
 ):
     """Run all decoder blocks via scan, updating the self-attn cache at
     positions [pos, pos+S) and attending per `self_mask`."""
@@ -229,7 +230,7 @@ def _decoder_blocks(
     # Head-packed int8 cross cache (pack_cross_cache): keep the K/V arrays
     # OUT of the scan xs — the decode-step kernel indexes the layer itself
     # via scalar prefetch, so no per-layer slice is ever materialized.
-    packed_cross = cache.cross_k.shape[-1] == 128 and cross_len is not None
+    packed_cross = cache.cross_v.shape[-1] == 128 and cross_len is not None
     # Fully-packed decode step: the SELF cache is head-packed too
     # (pack_self_cache) and updated in place by its own kernel — no carry
     # copies, no dynamic-slice fusions (ops/self_attention.py).
@@ -238,7 +239,8 @@ def _decoder_blocks(
 
     if packed_self:
         return _decoder_blocks_packed(
-            params, dims, x, cache, pos, precision, cross_len, pad_count
+            params, dims, x, cache, pos, precision, cross_len, pad_count,
+            int8_mxu=int8_mxu,
         )
 
     def block(x, layer):
@@ -283,7 +285,7 @@ def _decoder_blocks(
                 qs, cache.cross_k, cache.cross_v,
                 cache.cross_k_scale[:, :, :, 0, 0],
                 cache.cross_v_scale[:, :, :, 0, 0],
-                li, s_valid=cross_len,
+                li, s_valid=cross_len, int8_mxu=int8_mxu,
                 interpret=jax.default_backend() != "tpu",
             )
             o = ctx[:, :, None, :]
@@ -320,6 +322,7 @@ def _decoder_blocks_packed(
     precision,
     cross_len: int,
     pad_count,
+    int8_mxu: bool = False,
 ):
     """Single-token decoder step with BOTH caches head-packed: self
     attention + in-place cache update in one Pallas kernel per layer, cross
@@ -360,7 +363,7 @@ def _decoder_blocks_packed(
             cache.cross_k, cache.cross_v,
             cache.cross_k_scale[:, :, :, 0, 0],
             cache.cross_v_scale[:, :, :, 0, 0],
-            li, s_valid=cross_len, interpret=interp,
+            li, s_valid=cross_len, int8_mxu=int8_mxu, interpret=interp,
         )
         x = x + _dense(_merge_heads(ctx[:, :, None, :]), p["xo_w"],
                        p["xo_b"], precision)
@@ -401,14 +404,19 @@ def _attend_int8(q, k8, v8, k_scale, v_scale, precision):
     return (ctx * v_scale).astype(q.dtype)
 
 
-def pack_cross_cache(cache: KVCache) -> KVCache:
+def pack_cross_cache(cache: KVCache, transpose_k: bool = False) -> KVCache:
     """Repack the int8 cross K/V to the head-packed [L,B,H/2,S_pad,128]
     layout consumed by the decode-step kernel (ops/cross_attention.py).
-    One-time relayout after prefill; detected downstream by lane width."""
-    from whisper_tpu.ops.cross_attention import pack_cross_kv
+    One-time relayout after prefill; detected downstream by V's lane width.
 
+    transpose_k stores K as [L,B,H/2,128,S_pad] (sequence on lanes) for the
+    int8-MXU kernel (x5): scores come out [2,S] so the in-kernel softmax
+    runs at full lane utilization."""
+    from whisper_tpu.ops.cross_attention import pack_cross_kv, pack_cross_kv_t
+
+    pk = pack_cross_kv_t if transpose_k else pack_cross_kv
     return cache._replace(
-        cross_k=pack_cross_kv(cache.cross_k),
+        cross_k=pk(cache.cross_k),
         cross_v=pack_cross_kv(cache.cross_v),
     )
 
@@ -581,6 +589,7 @@ def decoder_step(
     precision=None,
     pad_count: Optional[jax.Array] = None,  # [B] left-pad slots in the cache
     cross_len: Optional[int] = None,        # encoder length (packed cross)
+    int8_mxu: bool = False,                 # int8xint8 MXU attention (x5)
 ) -> tuple[jax.Array, KVCache]:
     """One-token decoder pass against the static cache; logits [B, V].
 
@@ -617,5 +626,6 @@ def decoder_step(
     x = dec["tok_emb"][token][:, None, :] + pos_emb
 
     x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision,
-                               cross_len=cross_len, pad_count=pad_count)
+                               cross_len=cross_len, pad_count=pad_count,
+                               int8_mxu=int8_mxu)
     return _logits(params, x, precision)[:, 0, :], cache

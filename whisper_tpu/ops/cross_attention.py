@@ -66,6 +66,18 @@ def pack_cross_kv(x8: jax.Array) -> jax.Array:
     return x8
 
 
+def pack_cross_kv_t(x8: jax.Array) -> jax.Array:
+    """[L, B, H, S, 64] int8 -> TRANSPOSED [L, B, H//2, 128, S_pad] int8.
+
+    The K layout for the int8-MXU kernel (x5): with the 1500-long sequence
+    on LANES, scores come out [2, S] directly, so the softmax runs at full
+    lane utilization (the [S, 2] orientation wastes 126/128 lanes on every
+    VPU op — measured 2.2x slower kernel) and PV is a natural
+    [2,S]x[S,128] MXU matmul.
+    """
+    return jnp.swapaxes(pack_cross_kv(x8), 3, 4)
+
+
 def _kernel(layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, *,
             s_valid: int, out_dtype):
     # Blocks (one batch row, all head pairs): q [1,G,128] f32,
@@ -114,55 +126,157 @@ def _kernel(layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, *,
     out_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
 
 
+def _kernel_int8_mxu(layer_ref, q_ref, qks_ref, vs_ref, kt_ref, v_ref,
+                     out_ref, *, s_valid: int, out_dtype):
+    """int8xint8 MXU variant (x5): both attention dots run on the MXU with
+    int8 operands, so the 147 MB/step cross-KV stream never takes the
+    per-element VPU dequantize that bounds the fp32-dequant kernel
+    (docs/DECODE_ROOFLINE.md "VPU bound").
+
+    Layout is the key (measured on v5e, 128 steps x 6 layers, B=16):
+    K arrives TRANSPOSED [G, 128, S_pad] (pack_cross_kv_t) so that
+
+    - QK is [2,128] x [128,S_pad] -> scoresT [2,S_pad]: the sequence lives
+      on LANES, so the masked softmax runs at full lane utilization.  The
+      [S_pad,2] orientation spent ~60% of the kernel in 2/128-lane VPU ops
+      (0.359 ms/step); this form measures 0.161 ms/step — at the HBM floor.
+    - q is pre-quantized per head outside; in-kernel it broadcasts onto
+      [2,128] rows masked per head half (no transpose needed — q is a lane
+      vector).
+    - probs are quantized to int8 WITHOUT normalizing first: for e =
+      exp(scores - max), max(e) = 1, so p8 = round(127*e) and the exact
+      1/(127*denom) folds into the output scale (~7-bit probs; numerics
+      validated vs the fp32 path in tests).
+    - PV is the natural [2,S_pad] x [S_pad,128] int8 MXU matmul against the
+      untransposed V block.
+    - The merged all-pairs block-diagonal form ([G*S,2G] dots) measured
+      1.5x SLOWER than per-pair — masked cross-pair MACs are not free.
+
+    Scales arrive pre-combined per column (q_scale*k_scale and v_scale for
+    the CURRENT layer, indexed outside the kernel — a [B,H] f32 slice, not
+    the 12 MB/layer cache slice the scan-xs route would materialize).
+    """
+    del layer_ref
+    n_g = kt_ref.shape[2]
+    s_pad = kt_ref.shape[4]
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]  # [128]
+    colS = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 1)
+    rowmask = lanes2 // 64 == rows2      # row j selects head-half j's lanes
+
+    low = lane1 < 64
+    outs = []
+    for g in range(n_g):
+        q8 = q_ref[0, g, :].astype(jnp.int32)                    # [128]
+        qT = jnp.where(rowmask, q8[None, :], 0).astype(jnp.int8)  # [2,128]
+        scores = jax.lax.dot_general(
+            qT, kt_ref[0, 0, g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                    # [2,S_pad]
+        scores = scores * qks_ref[0, :, PACK * g:PACK * g + PACK].T
+        scores = jnp.where(colS < s_valid, scores, neg)
+        m = jnp.max(scores, axis=1, keepdims=True)               # [2, 1]
+        e = jnp.exp(scores - m)                                  # max = 1.0
+        denom = jnp.sum(e, axis=1, keepdims=True)                # [2, 1]
+        p8 = jnp.round(e * 127.0).astype(jnp.int8)               # [2,S_pad]
+
+        ctx = jax.lax.dot_general(
+            p8, v_ref[0, 0, g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                    # [2, 128]
+
+        s0 = vs_ref[0, 0, PACK * g] / (127.0 * denom[0, 0])
+        s1 = vs_ref[0, 0, PACK * g + 1] / (127.0 * denom[1, 0])
+        outs.append(jnp.where(low, ctx[0] * s0,
+                              ctx[1] * s1).astype(out_dtype))
+    out_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
+
+
 def cross_attend_step_packed(
     q: jax.Array,        # [B, H, 64] — already scaled by head_dim^-0.5
-    k8: jax.Array,       # [L, B, G, S_pad, 128] int8 (pack_cross_kv layout)
+    k8: jax.Array,       # [L, B, G, S_pad, 128] int8 (pack_cross_kv), or
+                         # TRANSPOSED [L, B, G, 128, S_pad] (pack_cross_kv_t)
+                         # when int8_mxu is set
     v8: jax.Array,       # [L, B, G, S_pad, 128] int8
     k_scale: jax.Array,  # [L, B, H] fp32 per-head scales
     v_scale: jax.Array,  # [L, B, H] fp32
     layer: jax.Array,    # scalar int32: which layer's K/V to attend
     *,
     s_valid: int,
+    int8_mxu: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token cross-attention against the packed int8 cache of ONE
     layer, indexed at runtime via scalar prefetch (so the kernel streams
     blocks straight from the full HBM cache; no per-layer slice copy).
 
+    With int8_mxu, q is quantized per head and BOTH dots run as int8xint8
+    MXU matmuls (probs requantized to 7 bits in-kernel) — the decode step's
+    dequantize leaves the VPU entirely (variant x5).  K must then be in the
+    transposed pack_cross_kv_t layout (sequence on lanes).
+
     Returns ctx [B, H, 64] in q.dtype.
     """
     b, h, dh = q.shape
     g = h // PACK
-    l, s_pad = k8.shape[0], k8.shape[3]
-    q_pk = q.astype(jnp.float32).reshape(b, g, LANES)  # exact reshape:
-    # (h, d) -> (g, j*64+d) is contiguous for h = 2g + j.
+    l, s_pad = k8.shape[0], v8.shape[3]
+    if int8_mxu:
+        assert k8.shape[3] == LANES and k8.shape[4] == s_pad, (
+            "int8_mxu expects the pack_cross_kv_t K layout", k8.shape)
     ks = k_scale.astype(jnp.float32).reshape(l, b, g, PACK)
     vs = v_scale.astype(jnp.float32).reshape(l, b, g, PACK)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if int8_mxu:
+        q32 = q.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)   # [B, H, 1]
+        qscale = jnp.maximum(absmax, 1e-12) / 127.0
+        q_pk = jnp.clip(jnp.round(q32 / qscale), -127, 127).astype(
+            jnp.int8).reshape(b, g, LANES)
+        # Combined per-column scales for THIS layer, indexed outside the
+        # kernel (a [B,H] f32 slice — tiny, unlike the KV cache itself).
+        ks_l = jax.lax.dynamic_index_in_dim(
+            k_scale.astype(jnp.float32), layer, 0, keepdims=False)  # [B, H]
+        vs_l = jax.lax.dynamic_index_in_dim(
+            v_scale.astype(jnp.float32), layer, 0, keepdims=False)
+        qks = (qscale[..., 0] * ks_l).reshape(b, 1, h)
+        vds = vs_l.reshape(b, 1, h)
+    else:
+        q_pk = q.astype(jnp.float32).reshape(b, g, LANES)  # exact reshape:
+        # (h, d) -> (g, j*64+d) is contiguous for h = 2g + j.
 
     def _lidx(s):
         # The scalar-prefetch ref is (1,)-shaped on TPU but arrives as a
         # 0-d value in interpret mode.
         return s[0] if getattr(s, "shape", ()) else s
 
-    kern = functools.partial(_kernel, s_valid=s_valid, out_dtype=q.dtype)
+    q_spec = pl.BlockSpec((1, g, LANES), lambda i, s: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, g, s_pad, LANES),
+                           lambda i, s: (_lidx(s), i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, 1, g, PACK), lambda i, s: (_lidx(s), i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if int8_mxu:
+        kern = functools.partial(_kernel_int8_mxu, s_valid=s_valid,
+                                 out_dtype=q.dtype)
+        col_spec = pl.BlockSpec((1, 1, h), lambda i, s: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        kt_spec = pl.BlockSpec((1, 1, g, LANES, s_pad),
+                               lambda i, s: (_lidx(s), i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs = [q_spec, col_spec, col_spec, kt_spec, kv_spec]
+        operands = (layer_arr, q_pk, qks, vds, k8, v8)
+    else:
+        kern = functools.partial(_kernel, s_valid=s_valid, out_dtype=q.dtype)
+        in_specs = [q_spec, kv_spec, kv_spec, sc_spec, sc_spec]
+        operands = (layer_arr, q_pk, k8, v8, ks, vs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, g, LANES), lambda i, s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, s_pad, LANES),
-                         lambda i, s: (_lidx(s), i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, s_pad, LANES),
-                         lambda i, s: (_lidx(s), i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, PACK), lambda i, s: (_lidx(s), i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, PACK), lambda i, s: (_lidx(s), i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, LANES), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -176,5 +290,5 @@ def cross_attend_step_packed(
             transcendentals=b * h * s_valid,
         ),
         interpret=interpret,
-    )(layer_arr, q_pk, k8, v8, ks, vs)
+    )(*operands)
     return out.reshape(b, h, dh)

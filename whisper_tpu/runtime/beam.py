@@ -51,6 +51,7 @@ def beam_generate(
     ts_cfg=None,
     int8_cross_kv: bool = False,
     packed_cross: bool = False,
+    int8_mxu: bool = False,
     precision=None,
 ):
     """Returns (tokens [B, max_new_tokens] of the best beam, scores [B]).
@@ -82,7 +83,7 @@ def beam_generate(
     cross_len = None
     if (packed_cross and int8_cross_kv
             and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
-        cache = whisper.pack_cross_cache(cache)
+        cache = whisper.pack_cross_cache(cache, transpose_k=int8_mxu)
         cross_len = enc_states.shape[1]
 
     # Tile cache per beam: [L, B, H, S, Dh] -> [L, B*K, H, S, Dh]
@@ -115,7 +116,7 @@ def beam_generate(
         i, buf, scores, last, done, lengths, cache, ts_state = state
         step_logits, new_cache = whisper.decoder_step(
             params, dims, last.reshape(b * k), p + i - 1, cache,
-            precision=precision, cross_len=cross_len,
+            precision=precision, cross_len=cross_len, int8_mxu=int8_mxu,
         )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

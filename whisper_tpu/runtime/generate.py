@@ -63,6 +63,8 @@ def greedy_generate(
     packed_cross: bool = False,   # head-packed int8 cross-KV: repack after
                                   # prefill so steps stream full 128-lane
                                   # tiles (ops/cross_attention.py)
+    int8_mxu: bool = False,       # int8xint8 MXU attention in the packed
+                                  # decode step (variant x5)
 ):
     """Returns generated tokens [B, max_new_tokens] (prompt excluded) —
     plus (sum_logprob [B], n_tokens [B]) when return_logprobs is set (the
@@ -116,7 +118,7 @@ def greedy_generate(
             and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
         from whisper_tpu.ops.self_attention import pack_self_cache
 
-        cache = whisper.pack_cross_cache(cache)
+        cache = whisper.pack_cross_cache(cache, transpose_k=int8_mxu)
         # Pack the self cache too: the step then runs fully on the packed
         # kernels with in-place KV updates (ops/self_attention.py).
         cache = cache._replace(
@@ -160,7 +162,7 @@ def greedy_generate(
         else:
             step_logits, cache = whisper.decoder_step(
                 params, dims, last, p + i - 1, cache, precision=precision,
-                pad_count=pad_count, cross_len=cross_len,
+                pad_count=pad_count, cross_len=cross_len, int8_mxu=int8_mxu,
             )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

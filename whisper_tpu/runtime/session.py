@@ -67,6 +67,10 @@ class RuntimeCfg:
     int8_kv_cache: bool = False   # int8 cross-KV cache (x4/int8)
     packed_cross_kv: bool = False  # head-packed decode cross-attn kernel
                                    # (x4; streams int8 KV at full lanes)
+    int8_mxu_attn: bool = False    # int8xint8 MXU attention dots in the
+                                   # packed decode step (x5): quantized q +
+                                   # 7-bit probs keep the dequantize off the
+                                   # VPU (docs/DECODE_ROOFLINE.md)
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -232,6 +236,7 @@ class WhisperSession:
             self.cfg.packed_cross_kv and self.cfg.int8_kv_cache
             and self._mesh is None
         )
+        self._int8_mxu = bool(self.cfg.int8_mxu_attn and self._packed_cross)
         self._fns: Dict[Tuple[int, int, int], object] = {}
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
 
@@ -262,6 +267,7 @@ class WhisperSession:
                     max_new_tokens=max_new, eot_id=eot_id,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
+                    int8_mxu=self._int8_mxu,
                     step_weights=sw,
                     precision=precision,
                 )
@@ -362,6 +368,7 @@ class WhisperSession:
                         ts_cfg=ts_cfg,
                         int8_cross_kv=self.cfg.int8_kv_cache,
                         packed_cross=self._packed_cross,
+                        int8_mxu=self._int8_mxu,
                         precision=precision,
                     )
                     return tokens
@@ -370,6 +377,7 @@ class WhisperSession:
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
+                    int8_mxu=self._int8_mxu,
                     step_weights=None if conditioned else sw,
                     temperature=temperature, rng_key=rng,
                     return_logprobs=with_scores,
@@ -476,6 +484,7 @@ class WhisperSession:
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
+                    int8_mxu=self._int8_mxu,
                     precision=precision,
                 )
 

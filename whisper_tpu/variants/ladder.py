@@ -14,6 +14,11 @@ compile/precision configurations over one weight set:
                                         (MatMul-only scope, matching
                                         quantize_onnx_int8.py:37-42)
 
+  x5   x4 + int8 MXU attention       — quantized q + 7-bit probs run both
+                                        decode attention dots as int8xint8
+                                        MXU matmuls (the dequantize leaves
+                                        the VPU; docs/DECODE_ROOFLINE.md)
+
 `int8` is accepted as an alias of x4 to mirror the reference's naming.
 Each variant can be materialized as a model-dir with a metadata.json
 sidecar, mirroring optimization_metadata.json (scripts/optimize_onnx_whisper.py:56-58).
@@ -40,6 +45,7 @@ class VariantSpec:
     int8_weights: bool = False
     int8_kv_cache: bool = False
     packed_cross_kv: bool = False
+    int8_mxu_attn: bool = False
     fused_decoder_step: bool = False
     audio_transfer: str = "int16"
 
@@ -57,6 +63,12 @@ LADDER: Dict[str, VariantSpec] = {
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True, int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True),
+    "x5": VariantSpec("x5", "x4 + int8xint8 MXU attention (quantized "
+                      "q/probs; dequantize off the VPU)",
+                      "bfloat16", "default", fused_frontend=True,
+                      fused_attention=True, int8_weights=True,
+                      int8_kv_cache=True, packed_cross_kv=True,
+                      int8_mxu_attn=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -79,6 +91,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             int8_weights=spec.int8_weights,
             int8_kv_cache=spec.int8_kv_cache,
             packed_cross_kv=spec.packed_cross_kv,
+            int8_mxu_attn=spec.int8_mxu_attn,
             fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
         ),
