@@ -17,12 +17,14 @@ real speech.  Prints one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 AUDIO_SECONDS = 301.574
 BASELINE_AUDIO_SEC_PER_SEC = 41.8  # best reference config (BASELINE.md)
+VARIANT = os.environ.get("BENCH_VARIANT", "x5")
 
 
 def synth_audio(seconds: float, sr: int = 16_000) -> np.ndarray:
@@ -47,9 +49,10 @@ def main() -> None:
 
     dims = get_dims("openai/whisper-base")
     params = init_params(dims, seed=0)
-    # x4: bf16 + fused Pallas front end + int8 matmul weights (fastest rung
-    # of the optimization ladder, whisper_tpu/variants/ladder.py).
-    cfg, _ = apply_variant(RuntimeCfg(), "x4")
+    # x5: bf16 + fused Pallas front end + int8 matmul weights + int8-MXU
+    # decode attention (fastest rung of the optimization ladder,
+    # whisper_tpu/variants/ladder.py). BENCH_VARIANT env overrides.
+    cfg, _ = apply_variant(RuntimeCfg(), VARIANT)
     session = WhisperSession(params, dims, cfg)
 
     audio = synth_audio(AUDIO_SECONDS)

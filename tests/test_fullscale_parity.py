@@ -178,3 +178,36 @@ def test_fullscale_greedy_token_parity_x0(base, audio_30s, torch_chains):
         suppressed.update(t for t in want if t != EOT)
     # The rounds must have probed more than one decision.
     assert len(suppressed) >= N_ROUNDS
+
+
+def test_fullscale_x5_matches_x4_chain(base, audio_30s):
+    """x5 (int8-MXU attention: quantized q + 7-bit probs) vs x4 greedy
+    chains at REAL whisper-base dimensions — the quantization noise must
+    stay below the argmax margins on a full-scale model, not just the toy
+    dims of test_cross_attention.  Kernels run in interpret mode on CPU;
+    the TPU-measured counterpart is the identical-transcript A/B recorded
+    in docs/DECODE_ROOFLINE.md."""
+    import dataclasses
+
+    from whisper_tpu.frontend.mel import log_mel
+    from whisper_tpu.runtime.generate import strip_generated
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.variants.ladder import apply_variant
+
+    _, dims, params = base
+    mel = np.asarray(log_mel(audio_30s, bucket=3000))[None]
+
+    chains = {}
+    for name in ("x4", "x5"):
+        cfg, _ = apply_variant(RuntimeCfg(max_batch=1), name)
+        # Pallas front end / encoder attention are not under test and are
+        # slow in interpret mode at full scale.
+        cfg = dataclasses.replace(cfg, fused_frontend=False,
+                                  fused_attention=False)
+        sess = WhisperSession(params, dims, cfg)
+        toks = sess.transcribe_chunks(
+            mel, prompt=[SOT, EN, TRANSCRIBE, NOTS],
+            max_new_tokens=6, eot_id=EOT,
+        )
+        chains[name] = strip_generated(np.asarray(toks)[0], EOT)
+    assert chains["x5"] == chains["x4"]
