@@ -147,3 +147,76 @@ class TestTransferEncodings:
         # large — which is exactly why ulaw8 is opt-in, not a ladder rung.
         assert np.abs(got - want).mean() < 0.02
         assert np.abs(got - want).max() < 1.0
+
+
+class TestStreamedMel:
+    """compute_mel_streamed must be BITWISE identical to the one-shot XLA
+    path: frame f is a pure function of padded samples [160f, 160f+400),
+    and the global max equals the max of per-slab masked maxes."""
+
+    def _session(self, slab_frames):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        cfg = RuntimeCfg(streamed_mel=True, mel_slab_frames=slab_frames,
+                         audio_transfer="int16")
+        return WhisperSession(params, dims, cfg)
+
+    @pytest.mark.parametrize("seconds,slab_frames", [
+        (75.3, 3000),    # multi-slab with ragged tail
+        (60.0, 3000),    # n_valid just past an exact slab multiple
+        (29.9, 3000),    # single slab -> one-shot fallback
+        (95.0, 1000),    # many small slabs
+    ])
+    def test_streamed_bitwise_equals_single_shot(self, seconds, slab_frames):
+        from whisper_tpu.pipeline.chunk import mel_frame_bucket
+
+        session = self._session(slab_frames)
+        audio = _speechy_audio(int(seconds * 16000), seed=3)
+        padded = reflect_pad(audio)
+        nv = num_frames(len(audio))
+        bucket = mel_frame_bucket(nv)
+        got = np.asarray(session.compute_mel_streamed(padded, nv, bucket))
+        want = np.asarray(session._compute_mel_single(padded, nv, bucket))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_compute_mel_routes_to_streamed(self, monkeypatch):
+        session = self._session(3000)
+        calls = {}
+        orig = type(session).compute_mel_streamed
+
+        def spy(self, *a, **k):
+            calls["streamed"] = True
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(type(session), "compute_mel_streamed", spy)
+        audio = _speechy_audio(int(61.0 * 16000))
+        padded = reflect_pad(audio)
+        nv = num_frames(len(audio))
+        from whisper_tpu.pipeline.chunk import mel_frame_bucket
+
+        session.compute_mel(padded, nv, mel_frame_bucket(nv))
+        assert calls.get("streamed")
+
+    def test_streamed_fp32_transfer_bitwise(self):
+        """x0/x1 parity variants (audio_transfer=fp32) stream bitwise too."""
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.pipeline.chunk import mel_frame_bucket
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        cfg = RuntimeCfg(streamed_mel=True, mel_slab_frames=2000,
+                         audio_transfer="fp32")
+        session = WhisperSession(init_params(dims, seed=0), dims, cfg)
+        audio = _speechy_audio(int(70.0 * 16000), seed=5)
+        padded = reflect_pad(audio)
+        nv = num_frames(len(audio))
+        bucket = mel_frame_bucket(nv)
+        got = np.asarray(session.compute_mel_streamed(padded, nv, bucket))
+        want = np.asarray(session._compute_mel_single(padded, nv, bucket))
+        np.testing.assert_array_equal(got, want)

@@ -75,25 +75,10 @@ def frame_signal(padded: jax.Array, n_frames: int) -> jax.Array:
     return jnp.concatenate([a0, a1, a2], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
-def log_mel_jax(
-    padded_audio: jax.Array,
-    valid_frames: jax.Array,
-    n_mels: int = 80,
-    n_frames: int | None = None,
-) -> jax.Array:
-    """Log-mel spectrogram [n_mels, n_frames] from reflect-padded audio.
-
-    Args:
-      padded_audio: float32 [L + 2*200 (+ optional zero tail)], produced by
-        :func:`whisper_tpu.frontend.golden.reflect_pad` (host side, O(400)).
-      valid_frames: scalar int32 — the true frame count
-        (:func:`golden.num_frames`); frames >= valid_frames are excluded from
-        the global max and zeroed in the output.
-      n_frames: static frame capacity (>= valid_frames), e.g. a bucket size.
-    """
-    if n_frames is None:
-        raise ValueError("n_frames (static) is required")
+def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
+    """Shared front-end core: framing + windowed DFT matmuls + mel
+    projection + log10.  Returns log_spec [n_frames, n_mels] (fp32,
+    un-clamped, un-normalized)."""
     _, cosw, sinw, fb_t = _constants(n_mels)
 
     # Compact transfer encodings (the device link is bandwidth-bound):
@@ -115,14 +100,71 @@ def log_mel_jax(
     power = re * re + im * im                          # [n_frames, 201]
     mel = jnp.dot(power, fb_t, precision=hi, preferred_element_type=jnp.float32)
     mel = jnp.maximum(mel, 1e-10)
+    return jnp.log10(mel)                              # [n_frames, n_mels]
 
-    log_spec = jnp.log10(mel)                          # [n_frames, n_mels]
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+def log_mel_jax(
+    padded_audio: jax.Array,
+    valid_frames: jax.Array,
+    n_mels: int = 80,
+    n_frames: int | None = None,
+) -> jax.Array:
+    """Log-mel spectrogram [n_mels, n_frames] from reflect-padded audio.
+
+    Args:
+      padded_audio: float32 [L + 2*200 (+ optional zero tail)], produced by
+        :func:`whisper_tpu.frontend.golden.reflect_pad` (host side, O(400)).
+      valid_frames: scalar int32 — the true frame count
+        (:func:`golden.num_frames`); frames >= valid_frames are excluded from
+        the global max and zeroed in the output.
+      n_frames: static frame capacity (>= valid_frames), e.g. a bucket size.
+    """
+    if n_frames is None:
+        raise ValueError("n_frames (static) is required")
+    log_spec = _log_spec_raw(padded_audio, n_mels, n_frames)
     valid = (jnp.arange(n_frames) < valid_frames)[:, None]
     max_log = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
     log_spec = jnp.maximum(log_spec, max_log - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     log_spec = jnp.where(valid, log_spec, 0.0)
     return log_spec.T                                  # [n_mels, n_frames]
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+def log_spec_slab(
+    padded_slab: jax.Array,
+    valid_frames: jax.Array,
+    n_mels: int = 80,
+    n_frames: int | None = None,
+):
+    """Unnormalized log-spec of one frame slab + its masked max.
+
+    Building block of the streamed (upload-pipelined) front end
+    (runtime/session.py compute_mel_streamed): a file's frames are
+    partitioned into fixed-size slabs so each slab's H2D upload overlaps
+    the previous slab's STFT; because frame f is a pure function of
+    padded samples [160f, 160f+400), slab log-specs concatenated equal
+    the whole-file log-spec bitwise.  The global max is recovered as the
+    max of the per-slab masked maxes before the clamp/affine pass.
+
+    Args:
+      padded_slab: audio samples covering this slab's frames: element j is
+        padded[160*f0 + j] of the whole-file reflect-padded signal, with at
+        least (n_frames-1)*160 + 400 elements (zero tail past the file's
+        padded end is fine — those frames must be >= valid_frames).
+      valid_frames: scalar int32 — frames >= this count are excluded from
+        the max (their log-spec content is left as computed; callers mask
+        by frame index downstream).
+    Returns:
+      (log_spec [n_mels, n_frames] fp32 raw, vmax scalar fp32).
+    """
+    if n_frames is None:
+        raise ValueError("n_frames (static) is required")
+    log_spec = _log_spec_raw(padded_slab, n_mels, n_frames)
+    valid = (jnp.arange(n_frames) < valid_frames)[:, None]
+    vmax = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
+    return log_spec.T, vmax
 
 
 def log_mel(audio: np.ndarray, n_mels: int = 80, bucket: int | None = None) -> jax.Array:

@@ -22,7 +22,6 @@ import jax
 import numpy as np
 
 from whisper_tpu.frontend import golden
-from whisper_tpu.frontend.mel import log_mel_jax
 from whisper_tpu.pipeline.chunk import chunk_starts, mel_frame_bucket
 from whisper_tpu.pipeline.stitch import stitch_texts
 from whisper_tpu.runtime.generate import strip_generated
@@ -39,29 +38,14 @@ def compute_mel_full(session: WhisperSession, audio_16k: np.ndarray) -> Tuple[np
     """Whole-file log-mel on device (ref src/main.rs:871). Returns
     ([n_mels, F_bucket] numpy, true frame count).
 
-    Uses the fused Pallas kernel when cfg.fused_frontend is set (variant
-    x3+); on non-TPU backends the kernel runs in interpret mode."""
-    import jax.numpy as jnp
-
+    Delegates to session.compute_mel (fused Pallas kernel for one-shot
+    uploads when cfg.fused_frontend, streamed slab pipeline for multi-slab
+    files when cfg.streamed_mel)."""
     audio_16k = np.asarray(audio_16k, dtype=np.float32)
     padded = golden.reflect_pad(audio_16k)
     n_valid = golden.num_frames(audio_16k.shape[0])
     bucket = mel_frame_bucket(n_valid)
-    if session.cfg.fused_frontend:
-        from whisper_tpu.ops.pallas_mel import log_mel_pallas
-
-        mel = log_mel_pallas(
-            jnp.asarray(padded), jnp.int32(n_valid),
-            n_mels=session.dims.n_mels, n_frames=bucket,
-            interpret=jax.default_backend() != "tpu",
-        )
-    else:
-        mel = log_mel_jax(
-            jnp.asarray(padded),
-            jnp.int32(n_valid),
-            n_mels=session.dims.n_mels,
-            n_frames=bucket,
-        )
+    mel = session.compute_mel(padded, n_valid, bucket)
     return np.asarray(jax.block_until_ready(mel)), n_valid
 
 

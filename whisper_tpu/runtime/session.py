@@ -76,6 +76,13 @@ class RuntimeCfg:
     # incompressible (speech-like) data, so int16 halves upload time; fp32
     # is kept for the strict-parity variants (x0/x1).
     audio_transfer: str = "int16"
+    # Streamed (slab-pipelined) whole-file mel upload: partitions the file's
+    # frames into fixed slabs so each slab's H2D overlaps the previous
+    # slab's host int16 encode + device STFT.  Bit-identical to the
+    # single-shot path (the global max is the max of per-slab maxes);
+    # tests/test_frontend.py::test_streamed_mel_bitwise.
+    streamed_mel: bool = True
+    mel_slab_frames: int = 7680   # 76.8 s of frames per upload slab
     data_parallel: int = 1
     tensor_parallel: int = 1
     # --- reference echo fields (ref src/main.rs:92-122) ---
@@ -311,7 +318,22 @@ class WhisperSession:
 
         The result is intentionally not copied to the host: the tunnel D2H
         path is slow relative to on-chip compute, so chunk slicing happens
-        on device in transcribe_from_mel."""
+        on device in transcribe_from_mel.
+
+        Multi-slab files take the streamed upload path when
+        cfg.streamed_mel (default): the H2D wire is the long-form
+        bottleneck and slab pipelining overlaps it with the host encode +
+        device STFT (compute_mel_streamed).  Streaming outranks
+        cfg.fused_frontend there — the Pallas mel kernel's savings are
+        device-side and hide under the wire anyway."""
+        if self.cfg.streamed_mel and n_valid > int(self.cfg.mel_slab_frames):
+            return self.compute_mel_streamed(padded_audio, n_valid, n_frames)
+        return self._compute_mel_single(padded_audio, n_valid, n_frames)
+
+    def _compute_mel_single(self, padded_audio: np.ndarray, n_valid: int,
+                            n_frames: int) -> jax.Array:
+        """One-shot upload + whole-file mel program (fused Pallas kernel
+        when cfg.fused_frontend, else XLA)."""
         padded_audio = self._encode_transfer(padded_audio)
         if self.cfg.fused_frontend:
             from whisper_tpu.ops.pallas_mel import log_mel_pallas
@@ -328,33 +350,149 @@ class WhisperSession:
             n_mels=self.dims.n_mels, n_frames=n_frames,
         )
 
+    def _get_mel_assemble_fn(self, n_slabs: int, slab_frames: int,
+                             n_frames: int):
+        """Compiled program: per-slab raw log-specs + masked maxes ->
+        normalized whole-file mel [n_mels, n_frames] (identical to
+        log_mel_jax output: global clamp at max-8, (x+4)/4, invalid
+        frames zeroed)."""
+        key = ("melasm", n_slabs, slab_frames, n_frames)
+        if key not in self._fns:
+            n_mels = self.dims.n_mels
+
+            def run(slabs, vmaxes, n_valid):
+                ls = jnp.concatenate(slabs, axis=1)   # [n_mels, S*SF]
+                total = n_slabs * slab_frames
+                if total > n_frames:
+                    ls = ls[:, :n_frames]
+                elif total < n_frames:
+                    ls = jnp.pad(ls, ((0, 0), (0, n_frames - total)))
+                gmax = jnp.max(jnp.stack(vmaxes))
+                valid = (jnp.arange(n_frames) < n_valid)[None, :]
+                ls = jnp.maximum(ls, gmax - 8.0)
+                ls = (ls + 4.0) / 4.0
+                return jnp.where(valid, ls, 0.0)
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def compute_mel_streamed(self, padded_audio: np.ndarray, n_valid: int,
+                             n_frames: int) -> jax.Array:
+        """Whole-file log-mel with the upload pipelined in frame slabs.
+
+        Bit-identical to :meth:`compute_mel` (XLA path): frame f is a pure
+        function of padded samples [160f, 160f+400), so per-slab STFTs
+        concatenated equal the whole-file STFT, and the global max equals
+        the max of per-slab masked maxes.  What it buys (the tunnel link
+        is ~30 MB/s for speech-like payloads, docs/UPLOAD_PIPELINE.md):
+        slab k+1's H2D transfer rides the wire while slab k's host int16
+        encode and device STFT run — only the first slab's encode and the
+        last slab's STFT stay on the critical path.
+
+        Falls back to the one-shot path for files at or below one slab.
+        """
+        from whisper_tpu.frontend.golden import HOP, WIN
+        from whisper_tpu.frontend.mel import log_spec_slab
+
+        sf = int(self.cfg.mel_slab_frames)
+        if n_valid <= sf:
+            return self._compute_mel_single(padded_audio, n_valid, n_frames)
+
+        n_slabs = -(-n_valid // sf)
+        slabs, vmaxes = [], []
+        # frame_signal row coverage for sf frames; a fixed slab length keeps
+        # one compiled STFT program across files.  A zero tail past the
+        # padded signal's end only feeds frames >= the slab's valid count
+        # (valid frame f needs samples < (n_valid-1)*160+400 <= len(padded)).
+        need = (sf + 2) * HOP
+        assert need >= (sf - 1) * HOP + WIN
+        padded_audio = np.asarray(padded_audio, dtype=np.float32)
+        for k in range(n_slabs):
+            f0 = k * sf
+            s0 = f0 * HOP
+            avail = padded_audio[s0 : s0 + need]
+            if avail.shape[0] < need:
+                host_slab = np.zeros(need, dtype=np.float32)
+                host_slab[: avail.shape[0]] = avail
+            else:
+                host_slab = np.ascontiguousarray(avail)
+            enc = self._encode_transfer(host_slab)
+            valid_k = max(0, min(n_valid - f0, sf))
+            ls, vm = log_spec_slab(
+                jnp.asarray(enc), jnp.int32(valid_k),
+                n_mels=self.dims.n_mels, n_frames=sf,
+            )
+            slabs.append(ls)
+            vmaxes.append(vm)
+        fn = self._get_mel_assemble_fn(n_slabs, sf, n_frames)
+        return fn(slabs, vmaxes, jnp.int32(n_valid))
+
+    def chunk_norm_window(self, raw_ls: jax.Array, frame_start: int,
+                          n_valid: int) -> jax.Array:
+        """One normalized [n_mels, 3000] chunk window sliced from a RAW
+        log-spec slab, per-chunk max semantics (language detection and
+        word-timestamp alignment inside the pipelined long-form mode)."""
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+
+        key = ("cnwin", raw_ls.shape[1])
+        if key not in self._fns:
+            n_mels = self.dims.n_mels
+
+            def run(ls, start, n_valid):
+                ls = jnp.pad(ls, ((0, 0), (0, CHUNK_FRAMES)))
+                win = jax.lax.dynamic_slice(
+                    ls, (0, start), (n_mels, CHUNK_FRAMES))
+                valid = (start + jnp.arange(CHUNK_FRAMES) < n_valid)[None, :]
+                vmax = jnp.max(jnp.where(valid, win, -jnp.inf))
+                win = (jnp.maximum(win, vmax - 8.0) + 4.0) / 4.0
+                return jnp.where(valid, win, 0.0)
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key](raw_ls, jnp.int32(frame_start),
+                              jnp.int32(n_valid))
+
     def _get_mel_fn(self, n_frames: int, batch: int, prompt_len: int,
                     max_new: int, eot_id: int, num_beams: int = 1,
                     length_penalty: float = 1.0, ts_cfg=None,
                     temperature: float = 0.0, with_scores: bool = False,
-                    conditioned: bool = False):
+                    conditioned: bool = False, chunk_norm: bool = False):
         """Compiled program: device mel [n_mels, F] + frame starts [B] ->
         generated tokens [B, max_new].  Chunk extraction (zero-padded
         3000-frame windows, ref src/main.rs:899-905) runs on device.
         num_beams > 1 switches the token loop to on-device beam search.
         conditioned=True adds a pad_counts [B] argument for left-padded
-        previous-text prompts (sequential mode, HF condition_on_prev)."""
+        previous-text prompts (sequential mode, HF condition_on_prev).
+        chunk_norm=True takes mel as a RAW (unnormalized) log-spec slab
+        plus an n_valid scalar and normalizes each sliced window with its
+        OWN masked max — the HF-pipeline comparison SUT's per-chunk
+        semantics (pipeline/pipelined.py), which lets a slab decode while
+        the next slab's audio is still on the wire."""
         key = ("mel", n_frames, batch, prompt_len, max_new, eot_id,
                num_beams, length_penalty, ts_cfg, temperature, with_scores,
-               conditioned)
+               conditioned, chunk_norm)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
             def run(params, sw, mel, starts, prompt, suppress,
-                    first_suppress, rng, pad_counts=None):
+                    first_suppress, rng, pad_counts=None, n_valid=None):
                 mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
                 chunks = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(
                         mel_pad, (0, s), (dims.n_mels, CHUNK_FRAMES)
                     )
                 )(starts)
+                if chunk_norm:
+                    frame_ix = starts[:, None] + jnp.arange(CHUNK_FRAMES)
+                    valid = (frame_ix < n_valid)[:, None, :]  # [B,1,3000]
+                    vmax = jnp.max(
+                        jnp.where(valid, chunks, -jnp.inf),
+                        axis=(1, 2), keepdims=True,
+                    )
+                    chunks = jnp.maximum(chunks, vmax - 8.0)
+                    chunks = (chunks + 4.0) / 4.0
+                    chunks = jnp.where(valid, chunks, 0.0)
                 enc = whisper.encoder_apply(params, dims, chunks,
                                             precision=precision,
                                             fused_attention=fused_attn)
@@ -404,6 +542,7 @@ class WhisperSession:
         seed: int = 0,
         with_scores: bool = False,
         pad_count: int | None = None,
+        chunk_norm_n_valid: int | None = None,
     ):
         """Transcribe chunks sliced (on device) from a whole-file mel.
 
@@ -414,15 +553,54 @@ class WhisperSession:
         pad_count marks the first N prompt tokens as left padding
         (previous-text conditioning: the prompt stays a fixed length so one
         program serves every window; padded slots are masked out and
-        position ids count real tokens only)."""
+        position ids count real tokens only).
+
+        chunk_norm_n_valid: when set, `mel` is a RAW log-spec slab (not yet
+        clamped/normalized) with this many valid frames; each chunk window
+        is normalized with its own masked max inside the program
+        (per-chunk semantics, pipeline/pipelined.py)."""
+        pieces = self.transcribe_from_mel_async(
+            mel, frame_starts, prompt, max_new_tokens, eot_id,
+            suppress_ids, begin_suppress_ids, num_beams, length_penalty,
+            ts_cfg, temperature, seed, with_scores, pad_count,
+            chunk_norm_n_valid,
+        )
+        return self.gather_tokens(pieces, len(frame_starts),
+                                  max_new_tokens, with_scores)
+
+    def transcribe_from_mel_async(
+        self,
+        mel: jax.Array,
+        frame_starts: Sequence[int],
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
+        ts_cfg=None,
+        temperature: float = 0.0,
+        seed: int = 0,
+        with_scores: bool = False,
+        pad_count: int | None = None,
+        chunk_norm_n_valid: int | None = None,
+    ):
+        """Dispatch-only half of transcribe_from_mel: enqueues the decode
+        program(s) and returns [(device_result, start, n), ...] WITHOUT
+        syncing.  The pipelined long-form driver uses this to keep later
+        slabs' uploads streaming on the wire while earlier slabs decode —
+        a host-side token fetch here would serialize the device queue.
+        Fetch with gather_tokens."""
+        if chunk_norm_n_valid is not None and pad_count is not None:
+            raise ValueError("chunk_norm and conditioned prompts are "
+                             "mutually exclusive")
         c = len(frame_starts)
         n_frames = mel.shape[1]
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
 
-        out = np.empty((c, max_new_tokens), dtype=np.int32)
-        sum_lp = np.zeros(c, dtype=np.float32)
-        n_tok = np.zeros(c, dtype=np.int32)
+        pieces = []
         cap = self.cfg.max_batch
         start = 0
         while start < c:
@@ -436,14 +614,29 @@ class WhisperSession:
                                   max_new_tokens, eot_id, num_beams,
                                   length_penalty, ts_cfg, temperature,
                                   with_scores,
-                                  conditioned=pad_count is not None)
+                                  conditioned=pad_count is not None,
+                                  chunk_norm=chunk_norm_n_valid is not None)
             rng = jax.random.PRNGKey(seed * 100003 + start)
             args = [self.params, self._step_weights, mel,
                     self._put_batch(jnp.asarray(starts)),
                     prompt_arr, base_mask, first_mask, rng]
+            kwargs = {}
             if pad_count is not None:
                 args.append(jnp.full((bucket,), pad_count, dtype=jnp.int32))
-            result = fn(*args)
+            if chunk_norm_n_valid is not None:
+                kwargs["n_valid"] = jnp.int32(chunk_norm_n_valid)
+            pieces.append((fn(*args, **kwargs), start, n))
+            start += n
+        return pieces
+
+    @staticmethod
+    def gather_tokens(pieces, c: int, max_new_tokens: int,
+                      with_scores: bool = False):
+        """Sync + assemble the results of transcribe_from_mel_async."""
+        out = np.empty((c, max_new_tokens), dtype=np.int32)
+        sum_lp = np.zeros(c, dtype=np.float32)
+        n_tok = np.zeros(c, dtype=np.int32)
+        for result, start, n in pieces:
             if with_scores:
                 toks, lp, nt = result
                 sum_lp[start : start + n] = np.asarray(lp)[:n]
@@ -451,7 +644,6 @@ class WhisperSession:
             else:
                 toks = result
             out[start : start + n] = np.asarray(toks)[:n]
-            start += n
         if with_scores:
             return out, sum_lp, n_tok
         return out
