@@ -25,6 +25,9 @@ import numpy as np
 AUDIO_SECONDS = 301.574
 BASELINE_AUDIO_SEC_PER_SEC = 41.8  # best reference config (BASELINE.md)
 VARIANT = os.environ.get("BENCH_VARIANT", "x5")
+# "chunked" (reference rust semantics: whole-file mel norm) or "pipelined"
+# (per-chunk norm, slab decodes overlap the wire; docs/UPLOAD_PIPELINE.md).
+MODE = os.environ.get("BENCH_MODE", "chunked")
 
 
 def synth_audio(seconds: float, sr: int = 16_000) -> np.ndarray:
@@ -57,8 +60,15 @@ def main() -> None:
 
     audio = synth_audio(AUDIO_SECONDS)
 
+    if MODE == "pipelined":
+        from whisper_tpu.pipeline.pipelined import (
+            transcribe_longform_pipelined as _transcribe,
+        )
+    else:
+        _transcribe = transcribe_longform
+
     def run():
-        text, t = transcribe_longform(
+        text, t = _transcribe(
             session, audio, language="en", task="transcribe",
             max_new_tokens=128, chunk_length_s=30.0, overlap_s=5.0,
         )

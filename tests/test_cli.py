@@ -310,6 +310,32 @@ class TestCli:
         s = json.load(open(out / "s.json"))
         assert s["language"] == "auto"
 
+    def test_pipelined_mode(self, model_dir, audio_dir, tmp_path):
+        """--longform-mode pipelined: per-chunk-norm slab decoding through
+        the full CLI surface (short fixture files exercise the single-slab
+        path; multi-slab overlap is covered in tests/test_pipelined.py and
+        measured on TPU in docs/UPLOAD_PIPELINE.md)."""
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rpipe"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--max-new-tokens", "3",
+            "--longform-mode", "pipelined",
+            "--slab-chunks", "2",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        jrows = json.load(open(out / "j.json"))
+        assert len(jrows) == 2 and all("text" in r for r in jrows)
+        s = json.load(open(out / "s.json"))
+        assert s["n_files"] == 2
+
     def test_beam_with_timestamps(self, model_dir, audio_dir, tmp_path):
         """Beam search + timestamp grammar through the full CLI surface."""
         from whisper_tpu.bench.cli import main

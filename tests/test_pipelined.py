@@ -1,0 +1,144 @@
+"""Pipelined long-form mode (pipeline/pipelined.py): per-chunk mel
+normalization (the HF-pipeline comparison SUT's semantics,
+/root/reference/benchmark_with_hf_pipeline.py) with chunk geometry from the
+rust SUT (src/main.rs:875-905), decoded slab-by-slab so uploads overlap
+decode on the real device.  On CPU these tests pin the SEMANTICS:
+the in-program per-chunk normalization against a NumPy oracle, and slab
+partitioning invariance (tokens must not depend on slab boundaries)."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.frontend.golden import HOP, num_frames, reflect_pad
+from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+
+PROMPT = [1, 2, 3]
+EOT = 5
+
+
+def _speechy_audio(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / 16000.0
+    x = (
+        0.3 * np.sin(2 * np.pi * (200 + 40 * np.sin(2 * np.pi * 1.3 * t)) * t)
+        + 0.2 * np.sin(2 * np.pi * 850 * t)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return (x * 0.5).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def nano_session():
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)
+    cfg = RuntimeCfg(dtype="float32", matmul_precision="default", max_batch=4)
+    return WhisperSession(params, dims, cfg)
+
+
+def _raw_ls(session, audio):
+    """Whole-file RAW log-spec [n_mels, total_frames] + total frames."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.frontend.mel import log_spec_slab
+
+    padded = reflect_pad(audio)
+    nv = num_frames(len(audio))
+    enc = session._encode_transfer(np.ascontiguousarray(padded))
+    ls, _ = log_spec_slab(jnp.asarray(enc), jnp.int32(nv),
+                          n_mels=session.dims.n_mels, n_frames=nv)
+    return np.asarray(ls), nv
+
+
+def _chunk_norm_numpy(raw, start, n_valid):
+    """NumPy oracle of the in-program per-chunk normalization."""
+    n_mels = raw.shape[0]
+    win = np.zeros((n_mels, CHUNK_FRAMES), dtype=np.float32)
+    avail = max(0, min(start + CHUNK_FRAMES, n_valid) - start)
+    if avail:
+        win[:, :avail] = raw[:, start : start + avail]
+    mask = (start + np.arange(CHUNK_FRAMES)) < n_valid
+    if mask.any():
+        vmax = win[:, mask].max()
+        win = np.maximum(win, vmax - 8.0)
+    win = (win + 4.0) / 4.0
+    win[:, ~mask] = 0.0
+    return win
+
+
+class TestChunkNormProgram:
+    def test_chunk_norm_window_matches_numpy(self, nano_session):
+        audio = _speechy_audio(40 * 16000, seed=2)
+        raw, nv = _raw_ls(nano_session, audio)
+        for start in (0, 2500, nv - 100):
+            got = np.asarray(
+                nano_session.chunk_norm_window(raw, start, nv))
+            want = _chunk_norm_numpy(raw, start, nv)
+            np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+    def test_decode_program_chunk_norm_matches_transcribe_chunks(
+            self, nano_session):
+        """transcribe_from_mel(chunk_norm) must produce the same tokens as
+        transcribe_chunks fed host-normalized windows (the oracle path)."""
+        audio = _speechy_audio(70 * 16000, seed=3)
+        raw, nv = _raw_ls(nano_session, audio)
+        starts = [0, 2500 * HOP // HOP * 0 + 2500, 5000]  # frame starts
+
+        got = nano_session.transcribe_from_mel(
+            raw, starts, prompt=PROMPT, max_new_tokens=5, eot_id=EOT,
+            chunk_norm_n_valid=nv,
+        )
+        oracle_mels = np.stack(
+            [_chunk_norm_numpy(raw, s, nv) for s in starts])
+        want = nano_session.transcribe_chunks(
+            oracle_mels, prompt=PROMPT, max_new_tokens=5, eot_id=EOT)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestPipelinedDriver:
+    def _run(self, session, audio, slab_chunks, **kw):
+        from whisper_tpu.pipeline.pipelined import (
+            transcribe_longform_pipelined,
+        )
+
+        return transcribe_longform_pipelined(
+            session, audio, language="en", task="transcribe",
+            max_new_tokens=5, slab_chunks=slab_chunks, **kw)
+
+    def test_slab_partition_invariance(self, nano_session):
+        """Per-chunk normalization makes tokens independent of where slab
+        boundaries fall — 2-chunk, 3-chunk and single-slab partitions must
+        produce identical text."""
+        audio = _speechy_audio(103 * 16000, seed=4)  # 5 chunks
+        texts = {g: self._run(nano_session, audio, g)[0] for g in (2, 3, 100)}
+        assert texts[2] == texts[3] == texts[100]
+        assert "[TOKENS:" in texts[2]
+
+    def test_short_single_chunk_file(self, nano_session):
+        text, timing = self._run(nano_session, _speechy_audio(8 * 16000), 4)
+        assert timing.end_to_end_s > 0
+
+    def test_exact_slab_multiple(self, nano_session):
+        # 4 chunks (30 s windows, 25 s step: 0,25,50,75 covers 103.1 s — use
+        # 100 s -> starts 0,25,50,75), slab_chunks=2 -> 2 full slabs.
+        audio = _speechy_audio(100 * 16000, seed=6)
+        t_a = self._run(nano_session, audio, 2)[0]
+        t_b = self._run(nano_session, audio, 4)[0]
+        assert t_a == t_b
+
+    def test_word_timestamps_smoke(self, nano_session):
+        words = []
+        text, _ = self._run(nano_session, _speechy_audio(35 * 16000), 4,
+                            word_collector=words)
+        # Random nano weights rarely produce text tokens a tokenizer could
+        # align, but the path must run without error and words stay a list.
+        assert isinstance(words, list)
+
+    def test_timing_fields_populated(self, nano_session):
+        _, timing = self._run(nano_session, _speechy_audio(60 * 16000), 2)
+        assert timing.preprocess_s > 0
+        assert timing.model_only_s > 0
+        assert timing.end_to_end_s >= timing.model_only_s

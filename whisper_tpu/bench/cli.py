@@ -78,10 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list (e.g. '0,0.2,0.4,0.6,0.8,1') enabling "
                         "openai-whisper-style temperature-fallback decoding")
     p.add_argument("--longform-mode", default="chunked",
-                   choices=["chunked", "sequential"],
+                   choices=["chunked", "sequential", "pipelined"],
                    help="chunked = reference rust strategy (fixed 30s windows"
                         " + overlap stitching); sequential = HF-style"
-                        " seek-based timestamped segmentation")
+                        " seek-based timestamped segmentation; pipelined ="
+                        " chunked geometry with PER-CHUNK mel normalization"
+                        " (HF-pipeline SUT semantics) so slab decodes overlap"
+                        " the next slab's H2D upload (docs/UPLOAD_PIPELINE.md)")
+    p.add_argument("--slab-chunks", type=int, default=4,
+                   help="pipelined mode: chunks per upload/decode slab")
     p.add_argument("--word-timestamps", action="store_true",
                    help="emit word-level timestamps (cross-attention DTW "
                         "alignment) in the per-file JSON rows; chunked "
@@ -307,8 +312,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         if executor is not None and idx + 1 < len(files):
             next_future = executor.submit(_load, files[idx + 1], True)
 
-        words = None  # word timestamps: chunked mode only
-        if args.longform_mode == "sequential":
+        words = None  # word timestamps: chunked/pipelined modes only
+        if args.longform_mode == "pipelined":
+            from whisper_tpu.pipeline.pipelined import (
+                transcribe_longform_pipelined,
+            )
+
+            words = [] if args.word_timestamps else None
+            text, t = transcribe_longform_pipelined(
+                session, audio, args.language, args.task,
+                args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                tokenizer, args.timestamps, gen_cfg, args.num_beams,
+                args.length_penalty, slab_chunks=args.slab_chunks,
+                word_collector=words,
+            )
+        elif args.longform_mode == "sequential":
             from whisper_tpu.pipeline.sequential import transcribe_sequential
 
             text, _segments, t = transcribe_sequential(
