@@ -90,6 +90,27 @@ class TestEngine:
         finally:
             eng.close()
 
+    def test_tick_pipeline_burst_resolves_all(self, session):
+        """A burst of 3x max_batch requests forces >= 3 ticks through the
+        one-deep dispatch/sync pipeline (_run keeps tick k in flight while
+        tick k+1 uploads); every future must resolve with the same text
+        the synchronous path produces for identical audio."""
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=5),
+        )
+        try:
+            eng.warmup(batch=4)
+            futs = [eng.submit(_audio(1.0, seed=i)) for i in range(12)]
+            texts = [f.result(timeout=300) for f in futs]
+            assert len(texts) == 12
+            assert eng.stats["batched_requests"] == 12
+            assert eng.stats["batches"] >= 3
+            # Same audio through the one-shot path gives identical text.
+            lone = eng.transcribe(_audio(1.0, seed=0), timeout=300)
+            assert lone == texts[0]
+        finally:
+            eng.close()
+
     def test_batched_results_match_individual(self, session):
         eng = StreamingEngine(
             session, cfg=EngineConfig(max_new_tokens=4, batch_window_ms=50),

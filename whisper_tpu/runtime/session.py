@@ -696,17 +696,34 @@ class WhisperSession:
     ) -> np.ndarray:
         """One fused program over a batch of short utterances (the
         continuous-batching serving path, BASELINE.json config 5)."""
+        return np.asarray(self.transcribe_short_batch_async(
+            padded_audio, n_valid_frames, prompt, max_new_tokens, eot_id,
+            suppress_ids, begin_suppress_ids, ts_cfg))
+
+    def transcribe_short_batch_async(
+        self,
+        padded_audio: np.ndarray,
+        n_valid_frames: np.ndarray,
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+        ts_cfg=None,
+    ) -> jax.Array:
+        """Dispatch-only transcribe_short_batch: returns DEVICE tokens
+        without syncing, so the serving engine can enqueue tick k+1's
+        upload while tick k computes (serve/engine.py pipelining)."""
         b, l = padded_audio.shape
         padded_audio = self._encode_transfer(padded_audio)
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
         fn = self._get_short_fn(l, b, len(prompt), max_new_tokens, eot_id,
                                 ts_cfg)
-        toks = fn(self.params, self._step_weights,
+        return fn(self.params, self._step_weights,
                   self._put_batch(jnp.asarray(padded_audio)),
                   self._put_batch(jnp.asarray(n_valid_frames.astype(np.int32))),
                   prompt_arr, base_mask, first_mask)
-        return np.asarray(toks)
 
     # -- speculative decoding (single-stream latency path) -------------------
 
@@ -767,6 +784,23 @@ class WhisperSession:
         """Fused audio->mel->both-encoders->speculative-loop program over a
         batch of short utterances; requires set_draft_model. Output is
         token-exact with the plain greedy path (lossless speculation)."""
+        return np.asarray(self.transcribe_short_speculative_async(
+            padded_audio, n_valid_frames, prompt, max_new_tokens, eot_id,
+            suppress_ids, begin_suppress_ids, draft_k))
+
+    def transcribe_short_speculative_async(
+        self,
+        padded_audio: np.ndarray,
+        n_valid_frames: np.ndarray,
+        prompt: Sequence[int],
+        max_new_tokens: int,
+        eot_id: int,
+        suppress_ids: Sequence[int] | None = None,
+        begin_suppress_ids: Sequence[int] | None = None,
+        draft_k: int = 4,
+    ) -> jax.Array:
+        """Dispatch-only transcribe_short_speculative (device tokens, no
+        sync) — the serving tick pipeline's speculative leg."""
         if not self.has_draft:
             raise RuntimeError("no draft model attached (set_draft_model)")
         draft_params, draft_dims = self._draft
@@ -803,12 +837,11 @@ class WhisperSession:
                 return tokens
 
             self._fns[key] = jax.jit(run)
-        toks = self._fns[key](
+        return self._fns[key](
             self.params, draft_params, jnp.asarray(padded_audio),
             jnp.asarray(n_valid_frames.astype(np.int32)),
             prompt_arr, base_mask, first_mask,
         )
-        return np.asarray(toks)
 
     # -- public API ---------------------------------------------------------
 

@@ -155,8 +155,21 @@ class StreamingEngine:
     # -- worker -------------------------------------------------------------
 
     def _run(self) -> None:
+        # One-deep tick pipeline: the H2D link is the serving bottleneck
+        # under load (a full 16x30 s tick is ~15 MB int16 through a
+        # ~30 MB/s wire), so tick k's token SYNC is deferred until tick
+        # k+1's upload+decode is DISPATCHED — the wire streams while the
+        # device computes.  Under light load (nothing else queued) the
+        # sync happens immediately: zero added latency for a lone request.
+        inflight = None  # (device_tokens, reqs)
         while self._running:
-            req = self._queue.get()
+            try:
+                req = self._queue.get(timeout=0.05 if inflight else None)
+            except queue.Empty:
+                if inflight is not None:
+                    self._finish_short(*inflight)
+                    inflight = None
+                continue
             if req is None:
                 break
             batch = [req]
@@ -177,11 +190,20 @@ class StreamingEngine:
                 batch.append(nxt)
 
             try:
-                self._process_short(batch)
+                current = (self._dispatch_short(batch), batch)
             except Exception as e:  # resolve futures, keep serving
+                current = None
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+            if inflight is not None:
+                self._finish_short(*inflight)
+            inflight = current
+            if inflight is not None and self._queue.empty():
+                self._finish_short(*inflight)
+                inflight = None
+        if inflight is not None:
+            self._finish_short(*inflight)
 
     def _run_long(self) -> None:
         """Long-form lane: one request at a time, each decomposed by the
@@ -204,7 +226,13 @@ class StreamingEngine:
                 req.future.set_exception(e)
 
     def _process_short(self, reqs: List[_Request]) -> None:
-        """One fused program over all short requests in this tick.
+        """Dispatch + finish one tick synchronously (tests; the worker
+        loop pipelines the two halves instead)."""
+        self._finish_short(self._dispatch_short(reqs), reqs)
+
+    def _dispatch_short(self, reqs: List[_Request]):
+        """Enqueue one fused program over all short requests in this tick;
+        returns DEVICE tokens (no sync — see _run's tick pipeline).
 
         With a draft model attached, the whole bucket takes the speculative
         path (lossless greedy, fewer full-model steps; per-row cache
@@ -223,7 +251,7 @@ class StreamingEngine:
             n_valid[i] = golden.num_frames(len(r.audio))
 
         if self.session.has_draft:
-            tokens = self.session.transcribe_short_speculative(
+            tokens = self.session.transcribe_short_speculative_async(
                 audio, n_valid, self._prompt, self.cfg.max_new_tokens,
                 self._special.eot,
                 suppress_ids=self.gen_cfg.suppress_tokens,
@@ -231,7 +259,7 @@ class StreamingEngine:
             )
             self.stats["speculative"] += n
         else:
-            tokens = self.session.transcribe_short_batch(
+            tokens = self.session.transcribe_short_batch_async(
                 audio, n_valid, self._prompt, self.cfg.max_new_tokens,
                 self._special.eot,
                 suppress_ids=self.gen_cfg.suppress_tokens,
@@ -239,10 +267,22 @@ class StreamingEngine:
             )
         self.stats["batches"] += 1
         self.stats["batched_requests"] += n
-        for i, r in enumerate(reqs):
-            gen = strip_generated(tokens[i], self._special.eot)
-            if self.tokenizer is not None:
-                text = self.tokenizer.decode(gen, skip_special_tokens=True)
-            else:
-                text = f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]" if gen else ""
-            r.future.set_result(text.strip())
+        return tokens
+
+    def _finish_short(self, device_tokens, reqs: List[_Request]) -> None:
+        """Sync tick tokens, detokenize, resolve futures (error-isolating:
+        serving survives a failed tick)."""
+        try:
+            tokens = np.asarray(device_tokens)
+            for i, r in enumerate(reqs):
+                gen = strip_generated(tokens[i], self._special.eot)
+                if self.tokenizer is not None:
+                    text = self.tokenizer.decode(gen, skip_special_tokens=True)
+                else:
+                    text = (f"[TOKENS:{' '.join(str(t) for t in gen[:200])}]"
+                            if gen else "")
+                r.future.set_result(text.strip())
+        except Exception as e:
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
