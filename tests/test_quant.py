@@ -194,3 +194,67 @@ class TestInt8CrossKV:
             int8_cross_kv=True,
         )
         assert toks.shape == (1, 4)
+
+
+class TestW8A8Encoder:
+    """x6: dynamic per-row activation int8 + int8xint8 MXU encoder matmuls
+    (models/whisper.py _dense int8_act path)."""
+
+    def test_dense_w8a8_matches_dequant_reference(self):
+        """The int8 dot with row/column scales must track the
+        dequantize-then-matmul path within the activation-quantization
+        noise bound (absmax/127 per row -> ~1% relative on sums)."""
+        import jax.numpy as jnp
+
+        from whisper_tpu.models.whisper import _dense
+        from whisper_tpu.variants.quant import quantize_tensor
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (4, 96, 128)).astype(np.float32))
+        w = rng.normal(0, 0.05, (128, 256)).astype(np.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, 256).astype(np.float32))
+        qw = quantize_tensor(w)
+
+        ref = np.asarray(_dense(x, qw, b, None))
+        got = np.asarray(_dense(x, qw, b, None, int8_act=True))
+        denom = np.abs(ref).mean()
+        assert np.abs(got - ref).mean() / denom < 0.02
+
+    def test_encoder_x6_close_to_x4(self):
+        """Full encoder under W8A8 vs weight-only int8 at nano dims."""
+        import jax.numpy as jnp
+
+        from whisper_tpu.models.whisper import encoder_apply
+        from whisper_tpu.variants.quant import quantize_params
+
+        dims = get_dims("test/whisper-nano")
+        params = quantize_params(init_params(dims, seed=0))
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.normal(0, 1, (2, dims.n_mels, 3000))
+                          .astype(np.float32))
+        ref = np.asarray(encoder_apply(params, dims, mel))
+        got = np.asarray(encoder_apply(params, dims, mel,
+                                       int8_activations=True))
+        denom = np.abs(ref).mean()
+        assert np.abs(got - ref).mean() / denom < 0.05
+
+    def test_x6_session_generates(self):
+        import dataclasses
+
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.variants.ladder import apply_variant
+
+        dims = get_dims("test/whisper-nano")
+        cfg, spec = apply_variant(RuntimeCfg(max_batch=2), "x6")
+        assert spec.int8_encoder_act and cfg.int8_encoder_act
+        # interpret-mode Pallas front/attention is slow on CPU and not
+        # under test here
+        cfg = dataclasses.replace(cfg, fused_frontend=False,
+                                  fused_attention=False)
+        sess = WhisperSession(init_params(dims, seed=0), dims, cfg)
+        assert sess._enc_i8
+        rng = np.random.default_rng(2)
+        mel = rng.normal(0, 1, (2, dims.n_mels, 3000)).astype(np.float32)
+        toks = sess.transcribe_chunks(mel, prompt=[1, 2, 3],
+                                      max_new_tokens=4, eot_id=5)
+        assert toks.shape == (2, 4)

@@ -81,8 +81,26 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _dense(x, w, b, precision):
+def _dense(x, w, b, precision, int8_act: bool = False):
     if type(w).__name__ == "QTensor":  # int8 weight (variants.quant)
+        if int8_act:
+            # W8A8 (variant x6): dynamic per-row symmetric activation
+            # quantization + int8xint8 MXU dot at 2x bf16 peak, int32
+            # accumulation (the Mosaic/XLA requirement).  Output scale is
+            # the product of the row scale and the per-output-channel
+            # weight scale; bias adds in the activation dtype.
+            xs = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            xs = jnp.maximum(xs.astype(jnp.float32) / 127.0, 1e-12)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w.q,
+                dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * xs
+                 * w.s.astype(jnp.float32)).astype(x.dtype)
+            return y if b is None else y + b
         w = w.q.astype(x.dtype) * w.s.astype(x.dtype)
     y = jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
     return y if b is None else y + b
@@ -150,12 +168,19 @@ def encoder_apply(
     *,
     precision=None,
     fused_attention: bool = False,
+    int8_activations: bool = False,
 ) -> jax.Array:
     """Encoder forward: mel [B, n_mels, T] -> hidden states [B, T//2, d].
 
     conv1d(k=3,s=1)+GELU, conv1d(k=3,s=2)+GELU, +sinusoidal positions, then
     encoder_layers pre-LN transformer blocks and a final LayerNorm — the
     graph behind the reference's ``run_encoder`` (src/main.rs:698-707).
+
+    int8_activations (variant x6, requires int8 weights): every block
+    matmul runs as a full int8xint8 MXU dot with dynamic per-row
+    activation scales — 2x the bf16 MXU peak.  The encoder is the
+    compute-bound half of the pipeline (the decode loop is
+    bandwidth-bound and keeps its own int8 paths, ops/cross_attention.py).
     """
     enc = params["encoder"]
     dtype = enc["conv1_w"].dtype
@@ -170,19 +195,23 @@ def encoder_apply(
 
     h = dims.encoder_heads
 
+    i8 = int8_activations
+
     def block(x, p):
         r = _layer_norm(x, p["attn_ln_s"], p["attn_ln_b"])
-        q = _dense(r, p["q_w"], p["q_b"], precision)
-        k = _dense(r, p["k_w"], None, precision)
-        v = _dense(r, p["v_w"], p["v_b"], precision)
+        q = _dense(r, p["q_w"], p["q_b"], precision, int8_act=i8)
+        k = _dense(r, p["k_w"], None, precision, int8_act=i8)
+        v = _dense(r, p["v_w"], p["v_b"], precision, int8_act=i8)
         o = _attend(_split_heads(q, h), _split_heads(k, h), _split_heads(v, h),
                     None, precision, fused=fused_attention)
-        x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
+        x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision,
+                       int8_act=i8)
 
         r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])
-        r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision),
+        r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision,
+                               int8_act=i8),
                         approximate=False)
-        x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
+        x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision, int8_act=i8)
         return x, None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])

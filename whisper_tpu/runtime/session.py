@@ -71,6 +71,10 @@ class RuntimeCfg:
                                    # packed decode step (x5): quantized q +
                                    # 7-bit probs keep the dequantize off the
                                    # VPU (docs/DECODE_ROOFLINE.md)
+    int8_encoder_act: bool = False  # W8A8 encoder (x6): dynamic per-row
+                                    # activation quantization + int8xint8
+                                    # MXU block matmuls at 2x bf16 peak;
+                                    # requires int8_weights
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -244,6 +248,10 @@ class WhisperSession:
             and self._mesh is None
         )
         self._int8_mxu = bool(self.cfg.int8_mxu_attn and self._packed_cross)
+        # W8A8 encoder (x6): only meaningful when the block weights are
+        # QTensors — the int8 dot needs the int8 weight operand.
+        self._enc_i8 = bool(self.cfg.int8_encoder_act
+                            and self.cfg.int8_weights)
         self._fns: Dict[Tuple[int, int, int], object] = {}
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
 
@@ -268,7 +276,8 @@ class WhisperSession:
             def run(params, sw, mel, prompt, suppress, first_suppress):
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
-                                            fused_attention=fused_attn)
+                                            fused_attention=fused_attn,
+                                            int8_activations=self._enc_i8)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
@@ -495,7 +504,8 @@ class WhisperSession:
                     chunks = jnp.where(valid, chunks, 0.0)
                 enc = whisper.encoder_apply(params, dims, chunks,
                                             precision=precision,
-                                            fused_attention=fused_attn)
+                                            fused_attention=fused_attn,
+                                            int8_activations=self._enc_i8)
                 if num_beams > 1:
                     from whisper_tpu.runtime.beam import beam_generate
 
@@ -670,7 +680,8 @@ class WhisperSession:
                 )(audio, n_valid)                    # [B, n_mels, 3000]
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
-                                            fused_attention=fused_attn)
+                                            fused_attention=fused_attn,
+                                            int8_activations=self._enc_i8)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,

@@ -18,6 +18,10 @@ compile/precision configurations over one weight set:
                                         decode attention dots as int8xint8
                                         MXU matmuls (the dequantize leaves
                                         the VPU; docs/DECODE_ROOFLINE.md)
+  x6   x5 + W8A8 encoder             — dynamic per-row activation int8 so
+                                        every encoder block matmul is an
+                                        int8xint8 MXU dot (2x bf16 peak);
+                                        the compute-bound half of the model
 
 `int8` is accepted as an alias of x4 to mirror the reference's naming.
 Each variant can be materialized as a model-dir with a metadata.json
@@ -46,6 +50,7 @@ class VariantSpec:
     int8_kv_cache: bool = False
     packed_cross_kv: bool = False
     int8_mxu_attn: bool = False
+    int8_encoder_act: bool = False
     fused_decoder_step: bool = False
     audio_transfer: str = "int16"
 
@@ -69,6 +74,12 @@ LADDER: Dict[str, VariantSpec] = {
                       fused_attention=True, int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True,
                       int8_mxu_attn=True),
+    "x6": VariantSpec("x6", "x5 + W8A8 encoder (dynamic activation int8, "
+                      "full int8 MXU block matmuls)",
+                      "bfloat16", "default", fused_frontend=True,
+                      fused_attention=True, int8_weights=True,
+                      int8_kv_cache=True, packed_cross_kv=True,
+                      int8_mxu_attn=True, int8_encoder_act=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -92,6 +103,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             int8_kv_cache=spec.int8_kv_cache,
             packed_cross_kv=spec.packed_cross_kv,
             int8_mxu_attn=spec.int8_mxu_attn,
+            int8_encoder_act=spec.int8_encoder_act,
             fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
         ),
