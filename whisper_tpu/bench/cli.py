@@ -239,27 +239,45 @@ def main(argv: Optional[List[str]] = None) -> int:
         assert sr0 == 16_000
         audios[files[0]] = a0
 
-        from whisper_tpu.pipeline.warmup import warm_buckets
-
-        warm_buckets(
-            session,
-            durations_s=[
-                load_audio_16k_mono(os.path.join(args.audio_dir, f))[2]
-                if f not in audios else len(audios[f]) / 16000.0
-                for f in files
-            ],
-            language=args.language, task=args.task,
-            max_new_tokens=args.max_new_tokens,
-            chunk_length_s=args.chunk_length_s, overlap_s=args.overlap_s,
-            tokenizer=tokenizer, timestamps=args.timestamps, gen_cfg=gen_cfg,
-            num_beams=args.num_beams, length_penalty=args.length_penalty,
-        )
-        for _ in range(args.warmup):
-            transcribe_longform(
-                session, a0, args.language, args.task, args.max_new_tokens,
-                args.chunk_length_s, args.overlap_s, tokenizer,
-                args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
+        if args.longform_mode == "pipelined":
+            # Pipelined mode compiles its own slab programs (slab STFT +
+            # chunk-norm decode buckets); warm them with the real driver so
+            # no compile lands in the measured loop.
+            from whisper_tpu.pipeline.pipelined import (
+                transcribe_longform_pipelined,
             )
+
+            for _ in range(args.warmup):
+                transcribe_longform_pipelined(
+                    session, a0, args.language, args.task,
+                    args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                    tokenizer, args.timestamps, gen_cfg, args.num_beams,
+                    args.length_penalty, slab_chunks=args.slab_chunks,
+                )
+        else:
+            from whisper_tpu.pipeline.warmup import warm_buckets
+
+            warm_buckets(
+                session,
+                durations_s=[
+                    load_audio_16k_mono(os.path.join(args.audio_dir, f))[2]
+                    if f not in audios else len(audios[f]) / 16000.0
+                    for f in files
+                ],
+                language=args.language, task=args.task,
+                max_new_tokens=args.max_new_tokens,
+                chunk_length_s=args.chunk_length_s, overlap_s=args.overlap_s,
+                tokenizer=tokenizer, timestamps=args.timestamps,
+                gen_cfg=gen_cfg,
+                num_beams=args.num_beams, length_penalty=args.length_penalty,
+            )
+            for _ in range(args.warmup):
+                transcribe_longform(
+                    session, a0, args.language, args.task,
+                    args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                    tokenizer, args.timestamps, gen_cfg, args.num_beams,
+                    args.length_penalty,
+                )
 
     rows: List[RowOut] = []
     end2end, load_l, pre_l, model_l, dec_l, rtf_l = [], [], [], [], [], []
