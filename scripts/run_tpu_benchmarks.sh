@@ -75,6 +75,7 @@ variant_subdir() {
   case "$1" in
     x0|x1) echo "whisper_tpu_fp32" ;;
     x4|int8) echo "whisper_tpu_int8" ;;
+    x5|x6) echo "whisper_tpu_int8_mxu" ;;
     *) echo "whisper_tpu_bf16" ;;
   esac
 }

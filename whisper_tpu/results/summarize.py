@@ -36,6 +36,7 @@ DEFAULT_SUTS = [
     ("faster-whisper (int8)", "int8", "faster_whisper_int8"),
     ("whisper-tpu (bf16)", "bf16", "whisper_tpu_bf16"),
     ("whisper-tpu (int8)", "int8", "whisper_tpu_int8"),
+    ("whisper-tpu (int8 MXU)", "int8", "whisper_tpu_int8_mxu"),
     ("whisper-tpu (fp32 parity)", "fp32", "whisper_tpu_fp32"),
 ]
 
