@@ -142,3 +142,37 @@ class TestPipelinedDriver:
         assert timing.preprocess_s > 0
         assert timing.model_only_s > 0
         assert timing.end_to_end_s >= timing.model_only_s
+
+
+class TestOddGeometry:
+    def test_odd_chunk_length_and_overlap(self, nano_session):
+        """Non-HOP-divisible steps (29.5 s windows, 4.3 s overlap) must
+        keep slab-partition invariance — frame starts come from pos//HOP
+        exactly like chunked mode (ref src/main.rs:899)."""
+        from whisper_tpu.pipeline.pipelined import (
+            transcribe_longform_pipelined,
+        )
+
+        audio = _speechy_audio(int(97.7 * 16000), seed=9)
+        texts = {}
+        for g in (2, 100):
+            texts[g], _ = transcribe_longform_pipelined(
+                nano_session, audio, language="en", task="transcribe",
+                max_new_tokens=4, chunk_length_s=29.5, overlap_s=4.3,
+                slab_chunks=g)
+        assert texts[2] == texts[100]
+
+    def test_step_clamp_tiny_overlap_geometry(self, nano_session):
+        """chunk_length <= overlap clamps the step to 1 sample in
+        chunk_starts; keep it decodable (tiny file so the chunk count
+        stays sane)."""
+        from whisper_tpu.pipeline.pipelined import (
+            transcribe_longform_pipelined,
+        )
+
+        audio = _speechy_audio(int(1.0 * 16000), seed=10)
+        text, _ = transcribe_longform_pipelined(
+            nano_session, audio, language="en", task="transcribe",
+            max_new_tokens=3, chunk_length_s=0.5, overlap_s=0.4,
+            slab_chunks=4)
+        assert isinstance(text, str)
