@@ -175,3 +175,38 @@ def test_tp4_dp2_session_matches_single_device():
     got = sharded.transcribe_chunks(mel_chunks, prompt=[3], max_new_tokens=4,
                                     eot_id=2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_dp_mesh_small_file_buckets_to_axis():
+    """A 40 s file is 2 chunks; on a 4-chip data mesh the batch bucket
+    must round UP to the axis size so the sharded batch divides evenly
+    (regression: bucket-2 on data=4 raised in device_put), and the
+    multi-slab streamed mel path must work under the mesh. Output must
+    equal the single-device transcription exactly."""
+    import numpy as np
+
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.pipeline.longform import transcribe_longform
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 0.1, int(40 * 16000)).astype(np.float32)
+
+    sharded = WhisperSession(
+        params, dims,
+        RuntimeCfg(dtype="float32", data_parallel=4, tensor_parallel=2,
+                   max_batch=4, mel_slab_frames=1000),
+    )
+    assert sharded._batch_bucket(2) == 4
+    text_m, _ = transcribe_longform(sharded, audio, language="en",
+                                    task="transcribe", max_new_tokens=4)
+    single = WhisperSession(
+        params, dims,
+        RuntimeCfg(dtype="float32", max_batch=4, mel_slab_frames=1000),
+    )
+    text_1, _ = transcribe_longform(single, audio, language="en",
+                                    task="transcribe", max_new_tokens=4)
+    assert text_m == text_1

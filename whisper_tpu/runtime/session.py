@@ -256,13 +256,29 @@ class WhisperSession:
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
 
     def _put_batch(self, x: jax.Array) -> jax.Array:
-        """Shard a [B, ...] batch over the 'data' axis when a mesh is up."""
+        """Shard a [B, ...] batch over the 'data' axis when a mesh is up.
+
+        Batches smaller than the data axis (e.g. a 2-chunk file on a
+        4-chip DP mesh with a non-power-of-2 axis) stay replicated —
+        _batch_bucket rounds buckets up to the axis size so this is the
+        exception, not the rule."""
         if self._mesh is not None and self.cfg.data_parallel > 1:
+            if x.shape[0] % self.cfg.data_parallel:
+                return x
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = P("data", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(self._mesh, spec))
         return x
+
+    def _batch_bucket(self, n: int) -> int:
+        """Power-of-two batch bucket, capped at max_batch and rounded up
+        to the DP axis size so sharded batches divide evenly (a 40 s file
+        is 2 chunks; on a 4-chip data mesh it must still bucket to 4)."""
+        b = _bucket_batch(n, self.cfg.max_batch)
+        if self._mesh is not None and self.cfg.data_parallel > 1:
+            b = max(b, self.cfg.data_parallel)
+        return b
 
     # -- compiled-function cache ------------------------------------------
 
@@ -615,7 +631,7 @@ class WhisperSession:
         start = 0
         while start < c:
             n = min(cap, c - start)
-            bucket = _bucket_batch(n, cap)
+            bucket = self._batch_bucket(n)
             # Padding rows point at the zero region appended on device.
             starts = np.full(bucket, n_frames, dtype=np.int32)
             starts[:n] = np.asarray(frame_starts[start : start + n],
@@ -881,7 +897,7 @@ class WhisperSession:
         start = 0
         while start < c:
             n = min(cap, c - start)
-            bucket = _bucket_batch(n, cap)
+            bucket = self._batch_bucket(n)
             mel = np.zeros(
                 (bucket,) + mel_chunks.shape[1:], dtype=mel_chunks.dtype
             )
