@@ -402,3 +402,26 @@ class TestDCNFlags:
         ])
         assert rc == 0
         assert calls["args"] == ("10.0.0.1:1234", 2, 0)
+
+
+def test_discovery_roundtrip_preserves_x5_knobs(tmp_path):
+    """The discovery loader must coerce the round-2 cfg keys — a tuned x5
+    config (packed_cross_kv/int8_mxu_attn/streamed_mel/...) has to
+    round-trip through {"best": asdict(cfg)} without silently degrading
+    to x4-level behavior."""
+    import dataclasses
+
+    from whisper_tpu.runtime.session import (
+        RuntimeCfg,
+        load_best_cfg_from_discovery,
+    )
+    from whisper_tpu.variants.ladder import apply_variant
+
+    cfg, _ = apply_variant(RuntimeCfg(mel_slab_frames=4321), "x5")
+    p = tmp_path / "best.json"
+    p.write_text(json.dumps({"best": dataclasses.asdict(cfg)}))
+    got = load_best_cfg_from_discovery(str(p))
+    for k in ("packed_cross_kv", "int8_mxu_attn", "int8_encoder_act",
+              "int8_kv_cache", "int8_weights", "streamed_mel",
+              "mel_slab_frames", "fused_decoder_step", "audio_transfer"):
+        assert getattr(got, k) == getattr(cfg, k), k

@@ -163,6 +163,17 @@ def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
         fused_attention=_coerce_bool(best.get("fused_attention"), fb.fused_attention),
         int8_weights=_coerce_bool(best.get("int8_weights"), fb.int8_weights),
         int8_kv_cache=_coerce_bool(best.get("int8_kv_cache"), fb.int8_kv_cache),
+        packed_cross_kv=_coerce_bool(best.get("packed_cross_kv"),
+                                     fb.packed_cross_kv),
+        int8_mxu_attn=_coerce_bool(best.get("int8_mxu_attn"),
+                                   fb.int8_mxu_attn),
+        int8_encoder_act=_coerce_bool(best.get("int8_encoder_act"),
+                                      fb.int8_encoder_act),
+        fused_decoder_step=_coerce_bool(best.get("fused_decoder_step"),
+                                        fb.fused_decoder_step),
+        streamed_mel=_coerce_bool(best.get("streamed_mel"), fb.streamed_mel),
+        mel_slab_frames=_coerce_int(best.get("mel_slab_frames"),
+                                    fb.mel_slab_frames),
         audio_transfer=_coerce_str(best.get("audio_transfer"), fb.audio_transfer),
         data_parallel=_coerce_int(best.get("data_parallel"), fb.data_parallel),
         tensor_parallel=_coerce_int(best.get("tensor_parallel"), fb.tensor_parallel),
