@@ -210,3 +210,31 @@ def test_dp_mesh_small_file_buckets_to_axis():
     text_1, _ = transcribe_longform(single, audio, language="en",
                                     task="transcribe", max_new_tokens=4)
     assert text_m == text_1
+
+
+def test_dp_mesh_serving_single_request():
+    """A lone short request on a DP mesh session hits a bucket-1 batch;
+    _put_batch must fall back to replication (not crash) and produce the
+    single-device tokens."""
+    import numpy as np
+
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)
+    rng = np.random.default_rng(1)
+    audio = np.zeros((1, 2 * 16000 + 400), dtype=np.float32)
+    audio[0, :32000] = rng.normal(0, 0.1, 32000)
+    n_valid = np.array([200], dtype=np.int32)
+
+    sharded = WhisperSession(
+        params, dims,
+        RuntimeCfg(dtype="float32", data_parallel=4, max_batch=4),
+    )
+    single = WhisperSession(params, dims,
+                            RuntimeCfg(dtype="float32", max_batch=4))
+    t_m = sharded.transcribe_short_batch(audio, n_valid, [1, 2, 3], 4, 5)
+    t_1 = single.transcribe_short_batch(audio, n_valid, [1, 2, 3], 4, 5)
+    np.testing.assert_array_equal(t_m, t_1)
