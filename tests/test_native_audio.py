@@ -138,3 +138,36 @@ class TestNativeDecoder:
         mono, sr, dur = aio.load_audio_16k_mono(str(p))
         assert aio._get_native() is not None
         assert sr == 16000 and abs(dur - 1.0) < 1e-3
+
+
+class TestNativeResampler:
+    def test_native_resample_bit_equals_numpy(self):
+        """The C++ resampler (built with -ffp-contract=off) must be
+        BIT-equal to the NumPy reference expression for every rate pair
+        the reference exercises (ref src/main.rs:207-226)."""
+        from whisper_tpu.native import audio_native
+
+        if not audio_native.resample_available():
+            pytest.skip("native lib not built")
+        from whisper_tpu.audio.resample import _resample_linear_numpy
+
+        rng = np.random.default_rng(0)
+        for sr_in, sr_out in [(44100, 16000), (48000, 16000), (22050, 16000),
+                              (8000, 16000), (16000, 8000), (11025, 16000)]:
+            x = rng.normal(0, 0.3, 44100).astype(np.float32)
+            got = audio_native.resample_linear(x, sr_in, sr_out)
+            want = _resample_linear_numpy(x, sr_in, sr_out)
+            assert got.shape == want.shape, (sr_in, sr_out)
+            np.testing.assert_array_equal(got, want, err_msg=f"{sr_in}->{sr_out}")
+
+    def test_resample_linear_routes_native(self):
+        from whisper_tpu.native import audio_native
+
+        if not audio_native.resample_available():
+            pytest.skip("native lib not built")
+        from whisper_tpu.audio import resample
+
+        x = np.ones(1000, dtype=np.float32)
+        # Route check: both paths agree and produce the documented length.
+        out = resample.resample_linear(x, 44100, 16000)
+        assert len(out) == int(np.floor(1000 * 16000 / 44100 + 0.5))

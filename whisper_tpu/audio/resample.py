@@ -24,6 +24,20 @@ def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.float32)
     if sr_in == sr_out:
         return x.copy()
+    # Native C++ path when the host lib is built (wt_resample_linear,
+    # native/audio_decode.cc — bit-equal to the NumPy expression below,
+    # enforced by tests/test_native_audio.py); NumPy otherwise.
+    try:
+        from whisper_tpu.native import audio_native
+
+        if audio_native.resample_available():
+            return audio_native.resample_linear(x, sr_in, sr_out)
+    except Exception:
+        pass
+    return _resample_linear_numpy(x, sr_in, sr_out)
+
+
+def _resample_linear_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     ratio = float(sr_out) / float(sr_in)           # f64, like the reference
     n_out = int(np.floor(len(x) * ratio + 0.5))    # Rust round(): half away from zero
 

@@ -9,6 +9,9 @@
 //
 // Exposed as a tiny C ABI for ctypes (see audio_native.py):
 //   int  wt_decode_mono(const char* path, float** out, long* n, int* sr);
+//   long wt_resample_len(long n_in, int sr_in, int sr_out);
+//   void wt_resample_linear(const float* in, long n_in, int sr_in,
+//                           int sr_out, float* out, long n_out);
 //   void wt_free(float* p);
 //   const char* wt_last_error(void);
 
@@ -18,6 +21,7 @@ extern "C" {
 #include <libavutil/opt.h>
 }
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -117,6 +121,30 @@ extern "C" {
 const char* wt_last_error(void) { return g_last_error.c_str(); }
 
 void wt_free(float* p) { free(p); }
+
+// Reference-exact linear resampler (ref src/main.rs:207-226; the numerical
+// contract is audio/resample.py): output length = round(n * ratio) half
+// away from zero, sample positions t = i / ratio in f64, 2-tap lerp with
+// FLOAT32 blend weights, zero for out-of-bounds taps.  Compiled with
+// -ffp-contract=off (Makefile) so the lerp rounds exactly like the NumPy
+// float32 expression — the Python fallback and this path are bit-equal.
+long wt_resample_len(long n_in, int sr_in, int sr_out) {
+  const double ratio = static_cast<double>(sr_out) / sr_in;
+  return static_cast<long>(std::floor(n_in * ratio + 0.5));
+}
+
+void wt_resample_linear(const float* in, long n_in, int sr_in, int sr_out,
+                        float* out, long n_out) {
+  const double ratio = static_cast<double>(sr_out) / sr_in;
+  for (long i = 0; i < n_out; ++i) {
+    const double t = i / ratio;
+    const long i0 = static_cast<long>(std::floor(t));
+    const float a = static_cast<float>(t - static_cast<double>(i0));
+    const float s0 = (i0 >= 0 && i0 < n_in) ? in[i0] : 0.0f;
+    const float s1 = (i0 + 1 >= 0 && i0 + 1 < n_in) ? in[i0 + 1] : 0.0f;
+    out[i] = (1.0f - a) * s0 + a * s1;
+  }
+}
 
 int wt_decode_mono(const char* path, float** out_samples, long* out_n,
                    int* out_sr) {

@@ -52,6 +52,19 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.wt_free.restype = None
     lib.wt_last_error.argtypes = []
     lib.wt_last_error.restype = ctypes.c_char_p
+    # Older builds of the library lack the resampler entry points; the
+    # wrappers below gate on hasattr so a stale .so only loses the native
+    # resample path, not decoding.
+    if hasattr(lib, "wt_resample_linear"):
+        lib.wt_resample_len.argtypes = [ctypes.c_long, ctypes.c_int,
+                                        ctypes.c_int]
+        lib.wt_resample_len.restype = ctypes.c_long
+        lib.wt_resample_linear.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.wt_resample_linear.restype = None
     _lib = lib
     return _lib
 
@@ -80,3 +93,25 @@ def decode_mono(path: str) -> Tuple[np.ndarray, int]:
     finally:
         lib.wt_free(out)
     return data, sr.value
+
+
+def resample_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "wt_resample_linear")
+
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Reference-exact linear resample in C++ (bit-equal to
+    audio.resample.resample_linear — tests/test_native_audio.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "wt_resample_linear"):
+        raise RuntimeError("native resampler not available")
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n_out = lib.wt_resample_len(len(x), sr_in, sr_out)
+    out = np.empty(n_out, dtype=np.float32)
+    lib.wt_resample_linear(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        sr_in, sr_out,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out,
+    )
+    return out
