@@ -310,6 +310,43 @@ class TestCli:
         s = json.load(open(out / "s.json"))
         assert s["language"] == "auto"
 
+    def test_initial_prompt_flag(self, model_dir, audio_dir, tmp_path):
+        """--initial-prompt encodes via the model dir's tokenizer.json and
+        conditions decoding (prompt-structure tests live in
+        tests/test_initial_prompt.py)."""
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "rprompt"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "3",
+            "--initial-prompt", "some text to build",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        assert json.load(open(out / "s.json"))["n_files"] == 1
+
+    def test_initial_prompt_requires_tokenizer(self, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        with pytest.raises(SystemExit, match="initial-prompt"):
+            main([
+                "--audio-dir", audio_dir,
+                "--model-id", "test/whisper-nano",
+                "--onnx-dir", str(tmp_path / "missing"),
+                "--allow-random-init",
+                "--initial-prompt", "hello",
+                "--out-csv", str(tmp_path / "c.csv"),
+                "--out-json", str(tmp_path / "j.json"),
+                "--out-summary-json", str(tmp_path / "s.json"),
+            ])
+
     def test_pipelined_mode(self, model_dir, audio_dir, tmp_path):
         """--longform-mode pipelined: per-chunk-norm slab decoding through
         the full CLI surface (short fixture files exercise the single-slab

@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit word-level timestamps (cross-attention DTW "
                         "alignment) in the per-file JSON rows; chunked "
                         "long-form mode only")
+    p.add_argument("--initial-prompt", default="",
+                   help="free-text prompt to condition decoding on "
+                        "(<|startofprev|> prefix; HF prompt_ids semantics "
+                        "in chunked/pipelined modes, seeds the rolling "
+                        "context in sequential mode with "
+                        "--condition-on-prev-text; needs tokenizer.json)")
     p.add_argument("--condition-on-prev-text", action="store_true",
                    help="sequential mode: prefix each window's prompt with "
                         "<|startofprev|> + the previous text tokens "
@@ -213,6 +219,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.path.join(args.onnx_dir, "generation_config.json")
     )
 
+    initial_prompt_ids = None
+    if args.initial_prompt:
+        if not tokenizer_path:
+            raise SystemExit("--initial-prompt needs a resolvable "
+                             "tokenizer.json (pass --tokenizer-json or use "
+                             "a model dir with one)")
+        from whisper_tpu.tokenizer.bpe import encode_text
+
+        initial_prompt_ids = encode_text(tokenizer_path, args.initial_prompt)
+
     session = _build_session(args, cfg)
 
     files = list_audio_files(args.audio_dir, args.limit_files)
@@ -253,6 +269,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     args.max_new_tokens, args.chunk_length_s, args.overlap_s,
                     tokenizer, args.timestamps, gen_cfg, args.num_beams,
                     args.length_penalty, slab_chunks=args.slab_chunks,
+                    initial_prompt_ids=initial_prompt_ids,
                 )
         else:
             from whisper_tpu.pipeline.warmup import warm_buckets
@@ -270,6 +287,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 tokenizer=tokenizer, timestamps=args.timestamps,
                 gen_cfg=gen_cfg,
                 num_beams=args.num_beams, length_penalty=args.length_penalty,
+                initial_prompt_ids=initial_prompt_ids,
             )
             for _ in range(args.warmup):
                 transcribe_longform(
@@ -277,6 +295,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     args.max_new_tokens, args.chunk_length_s, args.overlap_s,
                     tokenizer, args.timestamps, gen_cfg, args.num_beams,
                     args.length_penalty,
+                    initial_prompt_ids=initial_prompt_ids,
                 )
 
     rows: List[RowOut] = []
@@ -343,6 +362,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 tokenizer, args.timestamps, gen_cfg, args.num_beams,
                 args.length_penalty, slab_chunks=args.slab_chunks,
                 word_collector=words,
+                initial_prompt_ids=initial_prompt_ids,
             )
         elif args.longform_mode == "sequential":
             from whisper_tpu.pipeline.sequential import transcribe_sequential
@@ -351,6 +371,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 session, audio, args.language, args.task,
                 args.max_new_tokens, tokenizer, gen_cfg,
                 condition_on_prev_text=args.condition_on_prev_text,
+                initial_prompt_ids=initial_prompt_ids,
             )
         elif args.temperatures:
             from whisper_tpu.pipeline.fallback import (
@@ -371,6 +392,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
                 precomputed_mel=pre_mel,
                 word_collector=words,
+                initial_prompt_ids=initial_prompt_ids,
             )
 
         e2e = load_s + t.end_to_end_s

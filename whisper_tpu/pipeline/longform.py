@@ -64,6 +64,7 @@ def transcribe_longform(
     length_penalty: float = 1.0,
     precomputed_mel: Optional[Tuple] = None,
     word_collector: Optional[list] = None,
+    initial_prompt_ids: Optional[list] = None,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
     (stitched text, Timing).
@@ -81,6 +82,11 @@ def transcribe_longform(
     detect = language == "auto"
     special = special_tokens("en" if detect else language, task, tokenizer)
     prompt = [special.sot, special.lang, special.task]
+    # --initial-prompt: condition EVERY chunk on <|startofprev|> + the
+    # prompt tokens — the HF pipeline's prompt_ids semantics (the P2
+    # comparison SUT prepends them on each generate call).
+    prefix = ([special.sot_prev] + list(initial_prompt_ids)
+              if initial_prompt_ids else [])
     ts_cfg = None
     ts_begin = special.no_timestamps + 1
     if not timestamps:
@@ -141,7 +147,7 @@ def transcribe_longform(
     tokens = session.transcribe_from_mel(
         mel_dev,
         frame_starts,
-        prompt=prompt,
+        prompt=prefix + prompt,
         max_new_tokens=max_new_tokens,
         eot_id=special.eot,
         suppress_ids=gen_cfg.suppress_tokens,
@@ -186,7 +192,7 @@ def transcribe_longform(
                 (session.dims.n_mels, CHUNK_FRAMES),
             )
             words = align_chunk_words(
-                session, chunk_mel, prompt, gen, tokenizer,
+                session, chunk_mel, prefix + prompt, gen, tokenizer,
                 offset_s=frame_starts[i] * 0.01,
                 audio_len_s=min(30.0,
                                 (total_frames - frame_starts[i]) * 0.01),

@@ -84,6 +84,7 @@ def transcribe_longform_pipelined(
     length_penalty: float = 1.0,
     slab_chunks: int = 4,
     word_collector: Optional[list] = None,
+    initial_prompt_ids: Optional[list] = None,
 ) -> Tuple[str, Timing]:
     """Pipelined long-form transcription; same surface as
     pipeline.longform.transcribe_longform minus precomputed_mel (the
@@ -101,6 +102,10 @@ def transcribe_longform_pipelined(
     detect = language == "auto"
     special = special_tokens("en" if detect else language, task, tokenizer)
     prompt = [special.sot, special.lang, special.task]
+    # --initial-prompt: per-chunk <|startofprev|> conditioning (same HF
+    # prompt_ids semantics as chunked mode, pipeline/longform.py).
+    prefix = ([special.sot_prev] + list(initial_prompt_ids)
+              if initial_prompt_ids else [])
     ts_cfg = None
     ts_begin = special.no_timestamps + 1
     if not timestamps:
@@ -169,7 +174,7 @@ def transcribe_longform_pipelined(
                     prompt[1] = detected[1]
         slab_pieces.append(session.transcribe_from_mel_async(
             ls, local,
-            prompt=prompt,
+            prompt=prefix + prompt,
             max_new_tokens=max_new_tokens,
             eot_id=special.eot,
             suppress_ids=gen_cfg.suppress_tokens,
@@ -218,7 +223,7 @@ def transcribe_longform_pipelined(
                     continue
                 chunk_mel = session.chunk_norm_window(ls, lstart, n_valid)
                 words = align_chunk_words(
-                    session, chunk_mel, prompt, gen, tokenizer,
+                    session, chunk_mel, prefix + prompt, gen, tokenizer,
                     offset_s=(f0 + lstart) * 0.01,
                     audio_len_s=min(30.0, (total_frames - f0 - lstart) * 0.01),
                 )

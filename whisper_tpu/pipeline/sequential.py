@@ -112,6 +112,7 @@ def transcribe_sequential(
     max_windows: int = 1000,
     condition_on_prev_text: bool = False,
     prev_context_tokens: int = 64,
+    initial_prompt_ids: Optional[list] = None,
 ) -> Tuple[str, List[Segment], Timing]:
     """Seek-based long-form transcription. Returns (text, segments, timing).
 
@@ -135,7 +136,16 @@ def transcribe_sequential(
     # lang, task]. pad slots are masked in prefill; with no prev text yet
     # the whole prefix (incl. sot_prev) is padding == the plain prompt.
     k_prev = prev_context_tokens if condition_on_prev_text else 0
-    prev_tokens: List[int] = []
+    # --initial-prompt: with conditioning on, the prompt text seeds the
+    # rolling previous-text context (openai-whisper semantics: window 1
+    # is conditioned on it; later windows roll to decoded text). Without
+    # conditioning it becomes a static <|startofprev|> prefix on every
+    # window (HF prompt_ids semantics).
+    prev_tokens: List[int] = (list(initial_prompt_ids)
+                              if (initial_prompt_ids and condition_on_prev_text)
+                              else [])
+    if initial_prompt_ids and not condition_on_prev_text:
+        prompt = [special.sot_prev] + list(initial_prompt_ids) + prompt
 
     audio_16k = np.asarray(audio_16k, dtype=np.float32)
     tp0 = time.perf_counter()

@@ -63,6 +63,7 @@ def warm_buckets(
     gen_cfg=None,
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    initial_prompt_ids=None,
 ) -> int:
     """Transcribe synthetic zero audio once per distinct compile shape.
 
@@ -80,5 +81,6 @@ def warm_buckets(
             session, audio, language, task, max_new_tokens,
             chunk_length_s, overlap_s, tokenizer, timestamps, gen_cfg,
             num_beams, length_penalty,
+            initial_prompt_ids=initial_prompt_ids,
         )
     return len(durs)

@@ -112,3 +112,25 @@ class WhisperDetokenizer:
                     byte_buf.append(b)
         flush()
         return "".join(parts)
+
+
+def encode_text(tokenizer_json: str, text: str) -> List[int]:
+    """Encode free text to token ids for prompt conditioning
+    (--initial-prompt / <|startofprev|> prefixes).
+
+    Decoding is dependency-free (WhisperDetokenizer above: the only
+    direction the reference pipeline needs, src/main.rs:637-648), but
+    ENCODING arbitrary text needs byte-level BPE merges + the GPT-2
+    pre-tokenizer, so this delegates to the `tokenizers` library — the
+    same engine the reference links as a Rust crate (Cargo.toml).  A
+    leading space is prepended like openai-whisper's initial_prompt
+    handling."""
+    try:
+        from tokenizers import Tokenizer
+    except ImportError as e:  # pragma: no cover - env always has it here
+        raise RuntimeError(
+            "--initial-prompt needs the `tokenizers` package to encode "
+            "text (decoding stays dependency-free)"
+        ) from e
+    tok = Tokenizer.from_file(tokenizer_json)
+    return list(tok.encode(" " + text.strip(), add_special_tokens=False).ids)
