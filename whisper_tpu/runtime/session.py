@@ -75,6 +75,10 @@ class RuntimeCfg:
                                     # activation quantization + int8xint8
                                     # MXU block matmuls at 2x bf16 peak;
                                     # requires int8_weights
+    fused_encoder_mlp: bool = False  # VMEM-resident LN+FC1+GELU+FC2+res
+                                     # encoder kernel (-17% MLP chain;
+                                     # tanh GELU numerics — opt-in until
+                                     # the round-3 transcript A/B)
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -169,6 +173,8 @@ def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
                                    fb.int8_mxu_attn),
         int8_encoder_act=_coerce_bool(best.get("int8_encoder_act"),
                                       fb.int8_encoder_act),
+        fused_encoder_mlp=_coerce_bool(best.get("fused_encoder_mlp"),
+                                       fb.fused_encoder_mlp),
         fused_decoder_step=_coerce_bool(best.get("fused_decoder_step"),
                                         fb.fused_decoder_step),
         streamed_mel=_coerce_bool(best.get("streamed_mel"), fb.streamed_mel),
@@ -304,7 +310,8 @@ class WhisperSession:
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
                                             fused_attention=fused_attn,
-                                            int8_activations=self._enc_i8)
+                                            int8_activations=self._enc_i8,
+                                            fused_mlp=self.cfg.fused_encoder_mlp)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
@@ -532,7 +539,8 @@ class WhisperSession:
                 enc = whisper.encoder_apply(params, dims, chunks,
                                             precision=precision,
                                             fused_attention=fused_attn,
-                                            int8_activations=self._enc_i8)
+                                            int8_activations=self._enc_i8,
+                                            fused_mlp=self.cfg.fused_encoder_mlp)
                 if num_beams > 1:
                     from whisper_tpu.runtime.beam import beam_generate
 
@@ -708,7 +716,8 @@ class WhisperSession:
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
                                             fused_attention=fused_attn,
-                                            int8_activations=self._enc_i8)
+                                            int8_activations=self._enc_i8,
+                                            fused_mlp=self.cfg.fused_encoder_mlp)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
