@@ -15,6 +15,7 @@ from whisper_tpu.results.accumulate import (
 )
 from whisper_tpu.results.compare import compare_per_file, print_parity
 from whisper_tpu.results.summarize import (
+    DEFAULT_SUTS,
     build_rows,
     extract_precision,
     extract_time_s,
@@ -83,7 +84,22 @@ class TestSummarize:
         }))
         (ld / "whisper_tpu_bf16.time.txt").write_text(TIME_LOG)
 
-        rows = build_rows(str(rd), str(ld))
+        # Absent SUTs get explicit status rows (skipped/not-run) by
+        # default; a skipped.json marker upgrades "not run" to a
+        # dependency-absent status.
+        fw = rd / "faster_whisper_fp32"
+        fw.mkdir()
+        (fw / "skipped.json").write_text(json.dumps(
+            {"status": "skipped", "reason": "dependency absent"}))
+        all_rows = build_rows(str(rd), str(ld))
+        assert len(all_rows) == len(DEFAULT_SUTS)
+        by_label = {r["implementation"]: r for r in all_rows}
+        assert by_label["faster-whisper (fp32)"]["time"] == (
+            "skipped (dependency absent)")
+        assert by_label["onnxruntime rust (no HF pipeline)"]["time"] == (
+            "not run")
+
+        rows = build_rows(str(rd), str(ld), include_missing=False)
         assert len(rows) == 1
         r = rows[0]
         assert r["implementation"] == "whisper-tpu (bf16)"

@@ -26,14 +26,15 @@ def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
         return x.copy()
     # Native C++ path when the host lib is built (wt_resample_linear,
     # native/audio_decode.cc — bit-equal to the NumPy expression below,
-    # enforced by tests/test_native_audio.py); NumPy otherwise.
+    # enforced by tests/test_native_audio.py); NumPy otherwise.  Only
+    # LOAD failures (lib absent / unloadable) fall back — errors from an
+    # available native resampler propagate so real defects aren't masked.
     try:
         from whisper_tpu.native import audio_native
-
-        if audio_native.resample_available():
-            return audio_native.resample_linear(x, sr_in, sr_out)
-    except Exception:
-        pass
+    except (ImportError, OSError):
+        return _resample_linear_numpy(x, sr_in, sr_out)
+    if audio_native.resample_available():
+        return audio_native.resample_linear(x, sr_in, sr_out)
     return _resample_linear_numpy(x, sr_in, sr_out)
 
 

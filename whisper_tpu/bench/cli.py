@@ -89,8 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipelined mode: chunks per upload/decode slab")
     p.add_argument("--word-timestamps", action="store_true",
                    help="emit word-level timestamps (cross-attention DTW "
-                        "alignment) in the per-file JSON rows; chunked "
-                        "long-form mode only")
+                        "alignment) in the per-file JSON rows; chunked/"
+                        "pipelined long-form modes")
     p.add_argument("--initial-prompt", default="",
                    help="free-text prompt to condition decoding on "
                         "(<|startofprev|> prefix; HF prompt_ids semantics "
@@ -258,19 +258,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.longform_mode == "pipelined":
             # Pipelined mode compiles its own slab programs (slab STFT +
             # chunk-norm decode buckets); warm them with the real driver so
-            # no compile lands in the measured loop.
+            # no compile lands in the measured loop.  Geometry follows the
+            # file duration, so warm ONE file per distinct duration (mixed-
+            # length runs previously compiled inside the measured loop for
+            # every geometry the first file didn't cover — ADVICE r2).
             from whisper_tpu.pipeline.pipelined import (
                 transcribe_longform_pipelined,
             )
 
-            for _ in range(args.warmup):
+            def _pipelined_warm(audio):
                 transcribe_longform_pipelined(
-                    session, a0, args.language, args.task,
+                    session, audio, args.language, args.task,
                     args.max_new_tokens, args.chunk_length_s, args.overlap_s,
                     tokenizer, args.timestamps, gen_cfg, args.num_beams,
                     args.length_penalty, slab_chunks=args.slab_chunks,
                     initial_prompt_ids=initial_prompt_ids,
                 )
+
+            seen_durs = {round(len(a0) / 16000.0, 3)}
+            for f in files[1:]:
+                a, _, dur = load_audio_16k_mono(
+                    os.path.join(args.audio_dir, f))
+                key = round(dur, 3)
+                if key not in seen_durs:
+                    seen_durs.add(key)
+                    _pipelined_warm(a)
+            for _ in range(args.warmup):
+                _pipelined_warm(a0)
         else:
             from whisper_tpu.pipeline.warmup import warm_buckets
 

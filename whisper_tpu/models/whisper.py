@@ -197,6 +197,13 @@ def encoder_apply(
     h = dims.encoder_heads
 
     i8 = int8_activations
+    if fused_mlp:
+        # VMEM guard: the fused kernel holds both dense matrices as
+        # double-buffered VMEM constants; past ~medium dims they blow the
+        # 16 MB budget and Mosaic fails at compile time — fall back.
+        from whisper_tpu.ops.encoder_mlp import fits_vmem
+
+        fused_mlp = fits_vmem(dims.d_model, dims.d_ffn, dtype)
 
     def block(x, p):
         r = _layer_norm(x, p["attn_ln_s"], p["attn_ln_b"])
@@ -211,6 +218,10 @@ def encoder_apply(
         if fused_mlp:
             # VMEM-resident LN+FC1+GELU+FC2+residual kernel (-17% on the
             # MLP chain at whisper-base, tanh GELU — ops/encoder_mlp.py).
+            # Precedence: fused_mlp dequantizes FC1/FC2 and runs bf16 MXU
+            # dots, overriding int8_activations for the MLP half (measured:
+            # W8A8 gains nothing at base/medium dims, docs/DECODE_ROOFLINE
+            # addendum; WhisperSession warns when both flags are set).
             from whisper_tpu.ops.encoder_mlp import fused_encoder_mlp
 
             def dq(w):

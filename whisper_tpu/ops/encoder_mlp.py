@@ -30,6 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 512  # rows (B*T positions) per grid step
 _SQRT_2_OVER_PI = 0.7978845608028654
 
+# Both dense weight matrices live in VMEM as constant operands and Mosaic
+# double-buffers them, so the weights alone cost 2 * (2*d*f) * itemsize
+# bytes of the ~16 MB budget (the activations tile adds ROWS*(d+f) fp32 on
+# top).  whisper-base (d=512, f=2048, bf16) fits at ~8.4 MB; medium/large
+# (d>=1024) do not — callers must check fits_vmem and fall back.
+_VMEM_WEIGHT_BUDGET = 12 * 2**20
+
+
+def fits_vmem(d: int, f: int, dtype) -> bool:
+    """True when the fused kernel's VMEM-resident weights fit the budget
+    (guard against a Mosaic compile-time failure at medium/large dims)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return 2 * (2 * d * f * itemsize) <= _VMEM_WEIGHT_BUDGET
+
 
 def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))

@@ -269,6 +269,17 @@ class WhisperSession:
         # QTensors — the int8 dot needs the int8 weight operand.
         self._enc_i8 = bool(self.cfg.int8_encoder_act
                             and self.cfg.int8_weights)
+        if self._enc_i8 and self.cfg.fused_encoder_mlp:
+            # Precedence (documented in encoder_apply): the fused MLP
+            # kernel dequantizes FC1/FC2 and runs bf16 dots, overriding
+            # W8A8 for the MLP half.  Measured equivalent-or-better
+            # (W8A8 gains nothing at base/medium dims), but say so.
+            import warnings
+
+            warnings.warn(
+                "fused_encoder_mlp overrides int8_encoder_act for the "
+                "encoder MLP half (bf16 fused kernel; W8A8 still applies "
+                "to QKV/O)", stacklevel=2)
         self._fns: Dict[Tuple[int, int, int], object] = {}
         self._masks: Dict[Tuple, Tuple[jax.Array, jax.Array]] = {}
 

@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     try:
         from faster_whisper import WhisperModel
     except Exception as e:
-        return harness.missing_dependency("faster-whisper", e)
+        return harness.missing_dependency("faster-whisper", e, args)
 
     model = WhisperModel(
         args.model_dir or args.model_id, device="cpu",

@@ -106,7 +106,7 @@ def main(argv=None) -> int:
         import torch  # noqa: F401
         import transformers
     except Exception as e:  # pragma: no cover - present in this image
-        return harness.missing_dependency("torch/transformers", e)
+        return harness.missing_dependency("torch/transformers", e, args)
 
     config_used = {"engine": "transformers-torch-cpu",
                    "threads": __import__("torch").get_num_threads()}

@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         from optimum.onnxruntime import ORTModelForSpeechSeq2Seq
         from transformers import AutoProcessor
     except Exception as e:
-        return harness.missing_dependency("optimum[onnxruntime]", e)
+        return harness.missing_dependency("optimum[onnxruntime]", e, args)
 
     src = args.model_dir or args.model_id
     processor = AutoProcessor.from_pretrained(src)
