@@ -253,6 +253,7 @@ class TestCli:
         assert cfg["max_batch"] == 2
         assert cfg["allow_spinning"] is True
 
+    @pytest.mark.slow
     def test_discovery_roundtrip_via_autotuner(self, model_dir, audio_dir, tmp_path):
         """discover -> best.json -> bench --discovery-best-json consumes it."""
         from whisper_tpu.bench.discover import main as discover_main

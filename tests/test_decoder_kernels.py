@@ -1,8 +1,14 @@
 """Fused decoder-step kernels vs the reference jnp decoder_step
-(interpret mode on the CPU mesh; same kernels compile on TPU)."""
+(interpret mode on the CPU mesh; same kernels compile on TPU).
+
+The kernels under test are the ARCHIVED time-major experiment
+(ops/decoder_kernels.py status header) — parity coverage is kept but runs
+only with `pytest -m slow`."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

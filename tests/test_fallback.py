@@ -101,6 +101,7 @@ class TestFallbackLadder:
         )
         assert all(t == 0.0 for t in info["accepted_at"])
 
+    @pytest.mark.slow
     def test_impossible_gates_walk_the_ladder(self, session):
         rng = np.random.default_rng(3)
         audio = rng.normal(0, 0.1, 2 * 16000).astype(np.float32)

@@ -180,6 +180,7 @@ def test_fullscale_greedy_token_parity_x0(base, audio_30s, torch_chains):
     assert len(suppressed) >= N_ROUNDS
 
 
+@pytest.mark.slow
 def test_fullscale_x5_matches_x4_chain(base, audio_30s):
     """x5 (int8-MXU attention: quantized q + 7-bit probs) vs x4 greedy
     chains at REAL whisper-base dimensions — the quantization noise must

@@ -108,6 +108,7 @@ class TestPipelinedDriver:
             session, audio, language="en", task="transcribe",
             max_new_tokens=5, slab_chunks=slab_chunks, **kw)
 
+    @pytest.mark.slow
     def test_slab_partition_invariance(self, nano_session):
         """Per-chunk normalization makes tokens independent of where slab
         boundaries fall — 2-chunk, 3-chunk and single-slab partitions must
@@ -162,6 +163,7 @@ class TestOddGeometry:
                 slab_chunks=g)
         assert texts[2] == texts[100]
 
+    @pytest.mark.slow
     def test_step_clamp_tiny_overlap_geometry(self, nano_session):
         """chunk_length <= overlap clamps the step to 1 sample in
         chunk_starts; keep it decodable (tiny file so the chunk count

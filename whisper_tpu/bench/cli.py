@@ -90,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--word-timestamps", action="store_true",
                    help="emit word-level timestamps (cross-attention DTW "
                         "alignment) in the per-file JSON rows; chunked/"
-                        "pipelined long-form modes")
+                        "pipelined/sequential long-form modes")
     p.add_argument("--initial-prompt", default="",
                    help="free-text prompt to condition decoding on "
                         "(<|startofprev|> prefix; HF prompt_ids semantics "
@@ -363,7 +363,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if executor is not None and idx + 1 < len(files):
             next_future = executor.submit(_load, files[idx + 1], True)
 
-        words = None  # word timestamps: chunked/pipelined modes only
+        words = None
         if args.longform_mode == "pipelined":
             from whisper_tpu.pipeline.pipelined import (
                 transcribe_longform_pipelined,
@@ -381,11 +381,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif args.longform_mode == "sequential":
             from whisper_tpu.pipeline.sequential import transcribe_sequential
 
+            words = [] if args.word_timestamps else None
             text, _segments, t = transcribe_sequential(
                 session, audio, args.language, args.task,
                 args.max_new_tokens, tokenizer, gen_cfg,
                 condition_on_prev_text=args.condition_on_prev_text,
                 initial_prompt_ids=initial_prompt_ids,
+                num_beams=args.num_beams,
+                length_penalty=args.length_penalty,
+                word_collector=words,
             )
         elif args.temperatures:
             from whisper_tpu.pipeline.fallback import (

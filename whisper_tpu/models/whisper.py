@@ -170,6 +170,7 @@ def encoder_apply(
     fused_attention: bool = False,
     int8_activations: bool = False,
     fused_mlp: bool = False,
+    fused_block: bool = False,
 ) -> jax.Array:
     """Encoder forward: mel [B, n_mels, T] -> hidden states [B, T//2, d].
 
@@ -197,6 +198,15 @@ def encoder_apply(
     h = dims.encoder_heads
 
     i8 = int8_activations
+    if fused_block:
+        # Whole-layer fused path (ops/encoder_block.py): LN1+QKV kernel ->
+        # fused attention -> O+residual+LN2+MLP+residual kernel.
+        # Supersedes fused_mlp; VMEM guard falls back past ~8 MB weights.
+        from whisper_tpu.ops import encoder_block as eb
+
+        fused_block = eb.fits_vmem(dims.d_model, dims.d_ffn, dtype)
+        if fused_block:
+            fused_mlp = False
     if fused_mlp:
         # VMEM guard: the fused kernel holds both dense matrices as
         # double-buffered VMEM constants; past ~medium dims they blow the
@@ -204,6 +214,35 @@ def encoder_apply(
         from whisper_tpu.ops.encoder_mlp import fits_vmem
 
         fused_mlp = fits_vmem(dims.d_model, dims.d_ffn, dtype)
+
+    def _dq(w):
+        if type(w).__name__ == "QTensor":
+            return w.q.astype(dtype) * w.s.astype(dtype)
+        return w
+
+    def block_fused(x, p):
+        """One encoder layer via the ops/encoder_block.py kernel pair; the
+        activations make exactly three HBM round trips per layer (qkv ->
+        attention -> out) instead of ~10 separate op fusions."""
+        from whisper_tpu.ops import encoder_block as eb
+
+        interp = jax.default_backend() != "tpu"
+        d = dims.d_model
+        w_qkv = jnp.concatenate(
+            [_dq(p["q_w"]), _dq(p["k_w"]), _dq(p["v_w"])], axis=1)
+        b_qkv = jnp.concatenate(
+            [p["q_b"], jnp.zeros_like(p["q_b"]), p["v_b"]])
+        qkv = eb.fused_ln_qkv(x, p["attn_ln_s"], p["attn_ln_b"],
+                              w_qkv, b_qkv, interpret=interp)
+        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+        o = _attend(_split_heads(q, h), _split_heads(k, h),
+                    _split_heads(v, h), None, precision, fused=True)
+        x = eb.fused_out_mlp(
+            x, _merge_heads(o), _dq(p["o_w"]), p["o_b"],
+            p["mlp_ln_s"], p["mlp_ln_b"],
+            _dq(p["fc1_w"]), p["fc1_b"], _dq(p["fc2_w"]), p["fc2_b"],
+            interpret=interp)
+        return x, None
 
     def block(x, p):
         r = _layer_norm(x, p["attn_ln_s"], p["attn_ln_b"])
@@ -242,7 +281,8 @@ def encoder_apply(
             x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision, int8_act=i8)
         return x, None
 
-    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    x, _ = jax.lax.scan(block_fused if fused_block else block, x,
+                        enc["blocks"])
     return _layer_norm(x, enc["ln_f_s"], enc["ln_f_b"])
 
 
@@ -278,6 +318,8 @@ def _decoder_blocks(
                                       # cache is head-packed (see below)
     pad_count=None,                   # [B] left-pad slots (packed-self path)
     int8_mxu: bool = False,           # int8xint8 MXU attention dots (x5)
+    mesh=None,                        # jax Mesh: run packed kernels per
+                                      # shard via shard_map (multi-chip)
 ):
     """Run all decoder blocks via scan, updating the self-attn cache at
     positions [pos, pos+S) and attending per `self_mask`."""
@@ -297,7 +339,7 @@ def _decoder_blocks(
     if packed_self:
         return _decoder_blocks_packed(
             params, dims, x, cache, pos, precision, cross_len, pad_count,
-            int8_mxu=int8_mxu,
+            int8_mxu=int8_mxu, mesh=mesh,
         )
 
     def block(x, layer):
@@ -334,17 +376,27 @@ def _decoder_blocks(
             # at head_dim=64 only fills half a tile (docs/ROADMAP.md §1).
             from whisper_tpu.ops.cross_attention import (
                 cross_attend_step_packed,
+                cross_attend_step_packed_sharded,
             )
 
             dh = dims.head_dim
             qs = q[:, :, 0, :] * jnp.asarray(dh, q.dtype) ** -0.5
-            ctx = cross_attend_step_packed(
-                qs, cache.cross_k, cache.cross_v,
-                cache.cross_k_scale[:, :, :, 0, 0],
-                cache.cross_v_scale[:, :, :, 0, 0],
-                li, s_valid=cross_len, int8_mxu=int8_mxu,
-                interpret=jax.default_backend() != "tpu",
-            )
+            if mesh is not None:
+                ctx = cross_attend_step_packed_sharded(
+                    qs, cache.cross_k, cache.cross_v,
+                    cache.cross_k_scale[:, :, :, 0, 0],
+                    cache.cross_v_scale[:, :, :, 0, 0],
+                    li, s_valid=cross_len, mesh=mesh, int8_mxu=int8_mxu,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                ctx = cross_attend_step_packed(
+                    qs, cache.cross_k, cache.cross_v,
+                    cache.cross_k_scale[:, :, :, 0, 0],
+                    cache.cross_v_scale[:, :, :, 0, 0],
+                    li, s_valid=cross_len, int8_mxu=int8_mxu,
+                    interpret=jax.default_backend() != "tpu",
+                )
             o = ctx[:, :, None, :]
         elif cks is not None:
             o = _attend_int8(q, ck, cv, cks, cvs, precision)
@@ -380,13 +432,30 @@ def _decoder_blocks_packed(
     cross_len: int,
     pad_count,
     int8_mxu: bool = False,
+    mesh=None,
 ):
     """Single-token decoder step with BOTH caches head-packed: self
     attention + in-place cache update in one Pallas kernel per layer, cross
     attention in another; the packed caches ride the scan carry and are
     donated through the kernels (input_output_aliases)."""
-    from whisper_tpu.ops.cross_attention import cross_attend_step_packed
-    from whisper_tpu.ops.self_attention import self_attend_step_packed
+    import functools as _ft
+
+    from whisper_tpu.ops import cross_attention as _ca, self_attention as _sa
+
+    if mesh is not None:
+        cross_attend = _ft.partial(_ca.cross_attend_step_packed_sharded,
+                                   mesh=mesh)
+
+        def self_attend(q, kn, vn, kc, vc, li, pos, pads, interpret):
+            return _sa.self_attend_step_packed_sharded(
+                q, kn, vn, kc, vc, li, pos, pads, mesh=mesh,
+                interpret=interpret)
+    else:
+        cross_attend = _ca.cross_attend_step_packed
+
+        def self_attend(q, kn, vn, kc, vc, li, pos, pads, interpret):
+            return _sa.self_attend_step_packed(
+                q, kn, vn, kc, vc, li, pos, pads, interpret=interpret)
 
     dec = params["decoder"]
     h = dims.decoder_heads
@@ -405,9 +474,9 @@ def _decoder_blocks_packed(
         q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
         k = _split_heads(_dense(r, p["k_w"], None, precision), h)
         v = _split_heads(_dense(r, p["v_w"], p["v_b"], precision), h)
-        ctx, sk_full, sv_full = self_attend_step_packed(
+        ctx, sk_full, sv_full = self_attend(
             q[:, :, 0, :] * scale, k[:, :, 0, :], v[:, :, 0, :],
-            sk_full, sv_full, li, pos, pads, interpret=interp,
+            sk_full, sv_full, li, pos, pads, interp,
         )
         x = x + _dense(_merge_heads(ctx[:, :, None, :]), p["o_w"], p["o_b"],
                        precision)
@@ -415,7 +484,7 @@ def _decoder_blocks_packed(
         # --- cross-attention (packed kernel) ---
         r = _layer_norm(x, p["x_ln_s"], p["x_ln_b"])
         q = _split_heads(_dense(r, p["xq_w"], p["xq_b"], precision), h)
-        ctx = cross_attend_step_packed(
+        ctx = cross_attend(
             q[:, :, 0, :] * scale.astype(q.dtype),
             cache.cross_k, cache.cross_v,
             cache.cross_k_scale[:, :, :, 0, 0],
@@ -647,6 +716,7 @@ def decoder_step(
     pad_count: Optional[jax.Array] = None,  # [B] left-pad slots in the cache
     cross_len: Optional[int] = None,        # encoder length (packed cross)
     int8_mxu: bool = False,                 # int8xint8 MXU attention (x5)
+    mesh=None,                              # Mesh for sharded packed kernels
 ) -> tuple[jax.Array, KVCache]:
     """One-token decoder pass against the static cache; logits [B, V].
 
@@ -684,5 +754,5 @@ def decoder_step(
 
     x, cache = _decoder_blocks(params, dims, x, cache, pos, mask, precision,
                                cross_len=cross_len, pad_count=pad_count,
-                               int8_mxu=int8_mxu)
+                               int8_mxu=int8_mxu, mesh=mesh)
     return _logits(params, x, precision)[:, 0, :], cache

@@ -194,6 +194,40 @@ def _kernel_int8_mxu(layer_ref, q_ref, qks_ref, vs_ref, kt_ref, v_ref,
     out_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
 
 
+def cross_attend_step_packed_sharded(
+    q, k8, v8, k_scale, v_scale, layer, *,
+    s_valid: int, mesh, int8_mxu: bool = False, interpret: bool = False,
+):
+    """Mesh-aware wrapper: runs the packed kernel per shard via shard_map.
+
+    The Pallas custom call has no GSPMD partitioning rule, so under a mesh
+    XLA would otherwise gather the whole cache onto every chip (the round-2
+    restriction that silently disabled x4/x5 on multi-chip,
+    runtime/session.py).  Sharding is batch over 'data' and head GROUPS
+    over 'model' (the TP column-parallel q/k/v projections already leave
+    heads sharded that way, parallel/mesh._TP_RULES).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("model", 1)
+    h_ax = "model" if tp > 1 else None
+    qs = P("data", h_ax, None)
+    kv = P(None, "data", h_ax, None, None)
+    sc = P(None, "data", h_ax)
+
+    def body(q, k8, v8, ks, vs, layer):
+        return cross_attend_step_packed(
+            q, k8, v8, ks, vs, layer, s_valid=s_valid, int8_mxu=int8_mxu,
+            interpret=interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(qs, kv, kv, sc, sc, P()),
+        out_specs=qs, check_vma=False,
+    )(q, k8, v8, k_scale, v_scale, layer)
+
+
 def cross_attend_step_packed(
     q: jax.Array,        # [B, H, 64] — already scaled by head_dim^-0.5
     k8: jax.Array,       # [L, B, G, S_pad, 128] int8 (pack_cross_kv), or

@@ -18,15 +18,17 @@ calls, keeping every intermediate in VMEM:
 ``decoder_step_fused`` composes them over unrolled layers; it is numerically
 equivalent to models.whisper.decoder_step (tested in interpret mode).
 
-STATUS — EXPERIMENTAL, NOT ENABLED IN THE VARIANT LADDER: measured on a
+STATUS — ARCHIVED NEGATIVE RESULT, NOT ON ANY DEFAULT PATH: measured on a
 real v5e at whisper-base/batch-16 the fused step is ~4x SLOWER than the
 XLA step (5.0 vs 1.25 ms).  Root cause: Mosaic rejects the lane-splitting
 reshapes a [B*H, ...] attention layout needs, so these kernels scalarize
 the head dimension into per-head VPU loops where batch=16 occupies 16 of
 128 lanes — ~12% vector utilization — while XLA's unfused attention already
-runs near the cross-KV memory floor (~0.45 ms/step).  Kept in-tree with
-full parity tests as the starting point for a layout-aware rewrite
-(head-packed lanes / int8 cross-KV streaming).
+runs near the cross-KV memory floor (~0.45 ms/step).  Its lessons seeded
+the head-packed rewrite that DID win (ops/cross_attention.py,
+ops/self_attention.py — the x4/x5 decode path); this module remains only
+as the documented experiment behind the opt-in cfg.fused_decoder_step, and
+its parity tests are gated behind `pytest -m slow`.
 
 Weights arrive pre-fused per layer (QKV concatenated) via
 :func:`build_step_weights`, computed once per session.

@@ -1,0 +1,207 @@
+"""Fused encoder-block Pallas kernels (round-3 perf lever).
+
+The encoder forward is the biggest remaining device-time block: ~55 ms of
+the 110 ms bucket-16 chunk program at ~25% MFU (docs/DECODE_ROOFLINE.md
+addendum).  Measured causes: every LayerNorm makes an fp32 round trip over
+the [B,1500,d] activations, and the QKV/O/FC matmuls lower as separate
+kLoop fusions with an HBM round trip between each.  The reference runs its
+whole encoder as one fused ORT graph (run_encoder, ref src/main.rs:698-707);
+this is the TPU equivalent, built VMEM-first.
+
+One encoder layer = three kernels, with only the attention boundary
+touching HBM between them:
+
+  1. ``fused_ln_qkv``  — LN1 -> Q/K/V projections as ONE [d, 3d] MXU dot
+     (row-blocked over B*T; the packed weight keeps one dispatch where XLA
+     ran three half-wide ones).
+  2. ``ops.attention.fused_attention`` — existing whole-row VMEM attention.
+  3. ``fused_out_mlp`` — O-proj + residual + LN2 + FC1 + GELU + FC2 +
+     residual in one pass: the row block stays resident from the context
+     read to the final residual write (supersedes ops/encoder_mlp.py's
+     MLP-only kernel, which left O-proj + residual + LN to XLA).
+
+Numerics: LN statistics and matmul accumulation in fp32 (Mosaic requires
+32-bit accumulation); GELU is the tanh approximation (no erf lowering on
+this Mosaic stack — same tradeoff as ops/pallas_mel.py and encoder_mlp.py),
+so these kernels belong to the non-parity rungs of the ladder (x3+).
+Quality bound: scripts/parity_matrix.py margin columns.
+
+VMEM budget at whisper-base (d=512, f=2048, bf16, ROWS=512):
+  ln_qkv:  W [512,1536] 1.5 MB x2 (double-buffered) + io blocks ~2.5 MB
+  out_mlp: O+FC1+FC2 4.5 MB x2 + io ~3 MB + fp32 intermediates ~5 MB
+Both inside the 16 MB budget; ``fits_vmem`` guards larger dims (medium+
+falls back to the unfused path, as with encoder_mlp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 512  # rows (B*T positions) per grid step
+_SQRT_2_OVER_PI = 0.7978845608028654
+_VMEM_WEIGHT_BUDGET = 12 * 2**20
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def fits_vmem(d: int, f: int, dtype) -> bool:
+    """True when the larger kernel's (out_mlp) VMEM-resident weights fit:
+    O [d,d] + FC1 [d,f] + FC2 [f,d], double-buffered."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return 2 * (d * d + 2 * d * f) * itemsize <= _VMEM_WEIGHT_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: LN1 -> packed QKV projection
+# ---------------------------------------------------------------------------
+
+def _ln_qkv_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref):
+    x32 = x_ref[...].astype(jnp.float32)            # [R, d]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    r = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    r = (r * lns_ref[...].astype(jnp.float32)
+         + lnb_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        r, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)              # [R, 3d]
+    o_ref[...] = y.astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ln_qkv(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
+                 w_qkv: jax.Array, b_qkv: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """x [B, T, d] -> LN(x) @ w_qkv + b_qkv as [B, T, 3d].
+
+    ``w_qkv`` is the concatenation [q_w | k_w | v_w] along the output axis
+    (K has no bias in Whisper — pass zeros in b_qkv's middle third).  The
+    caller slices the thirds and splits heads."""
+    b, t, d = x.shape
+    d3 = w_qkv.shape[1]
+    n = b * t
+    n_pad = _round_up(n, ROWS)
+    xf = x.reshape(n, d)
+    if n_pad != n:
+        xf = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+
+    out = pl.pallas_call(
+        _ln_qkv_kernel,
+        grid=(n_pad // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d3,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, d3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d3), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * d3,
+            bytes_accessed=(n_pad * (d + d3) + d * d3) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, ln_s, ln_b, w_qkv, b_qkv)
+    return out[:n].reshape(b, t, d3)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: O-proj + residual + LN2 + FC1 + GELU + FC2 + residual
+# ---------------------------------------------------------------------------
+
+def _out_mlp_kernel(x_ref, ctx_ref, ow_ref, ob_ref, lns_ref, lnb_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x32 = x_ref[...].astype(jnp.float32)            # [R, d] residual input
+    o = jax.lax.dot_general(
+        ctx_ref[...], ow_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ob_ref[...].astype(jnp.float32)
+    y32 = x32 + o                                   # post-attention residual
+    y = y32.astype(x_ref.dtype)
+
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    r = (y32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    r = (r * lns_ref[...].astype(jnp.float32)
+         + lnb_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    h = jax.lax.dot_general(
+        r, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)             # [R, f] fp32
+    h = _gelu_tanh(h).astype(x_ref.dtype)
+    z = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)             # [R, d] fp32
+    # Residual adds in the activation dtype (y, not y32): matches the
+    # unfused path where the post-attention residual is already stored
+    # bf16 before the MLP reads it.
+    o_ref[...] = (y.astype(jnp.float32) + z).astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_out_mlp(x: jax.Array, ctx: jax.Array,
+                  o_w: jax.Array, o_b: jax.Array,
+                  ln_s: jax.Array, ln_b: jax.Array,
+                  w1: jax.Array, b1: jax.Array,
+                  w2: jax.Array, b2: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """y = x + ctx @ o_w + o_b;  return y + FC2(GELU_tanh(FC1(LN(y)))).
+
+    x: pre-attention residual stream [B, T, d]; ctx: merged attention
+    context [B, T, d].  One HBM read of (x, ctx), one write of the output,
+    per row block."""
+    b, t, d = x.shape
+    f = w1.shape[1]
+    n = b * t
+    n_pad = _round_up(n, ROWS)
+    xf = x.reshape(n, d)
+    cf = ctx.reshape(n, d)
+    if n_pad != n:
+        xf = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+        cf = jnp.pad(cf, ((0, n_pad - n), (0, 0)))
+
+    row_spec = pl.BlockSpec((ROWS, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_d = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    vec_f = pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _out_mlp_kernel,
+        grid=(n_pad // ROWS,),
+        in_specs=[
+            row_spec, row_spec,
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec_d, vec_d, vec_d,
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec_f,
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec_d,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * (d * d + 2 * d * f),
+            bytes_accessed=(3 * n_pad * d + d * d + 2 * d * f)
+            * x.dtype.itemsize,
+            transcendentals=n_pad * f,
+        ),
+        interpret=interpret,
+    )(xf, cf, o_w, o_b, ln_s, ln_b, w1, b1, w2, b2)
+    return out[:n].reshape(b, t, d)

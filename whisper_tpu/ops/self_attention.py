@@ -97,6 +97,35 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     ctx_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
 
 
+def self_attend_step_packed_sharded(
+    q, k_new, v_new, k_cache, v_cache, layer, pos, pad_count, *,
+    mesh, interpret: bool = False,
+):
+    """Mesh-aware wrapper (see cross_attention.cross_attend_step_packed_
+    sharded): batch over 'data', head groups over 'model'; the in-place
+    cache update happens on each shard's local block."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("model", 1)
+    h_ax = "model" if tp > 1 else None
+    b = q.shape[0]
+    row = P("data", h_ax, None)
+    kv = P(None, "data", h_ax, None, None)
+    if pad_count is None:
+        pad_count = jnp.zeros((b,), jnp.int32)
+
+    def body(q, kn, vn, kc, vc, layer, pos, pad):
+        return self_attend_step_packed(
+            q, kn, vn, kc, vc, layer, pos, pad, interpret=interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(row, row, row, kv, kv, P(), P(), P("data")),
+        out_specs=(row, kv, kv), check_vma=False,
+    )(q, k_new, v_new, k_cache, v_cache, layer, pos, pad_count)
+
+
 def self_attend_step_packed(
     q: jax.Array,        # [B, H, 64] — already scaled by head_dim^-0.5
     k_new: jax.Array,    # [B, H, 64] this position's key

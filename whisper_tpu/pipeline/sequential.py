@@ -113,6 +113,9 @@ def transcribe_sequential(
     condition_on_prev_text: bool = False,
     prev_context_tokens: int = 64,
     initial_prompt_ids: Optional[list] = None,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
+    word_collector: Optional[list] = None,
 ) -> Tuple[str, List[Segment], Timing]:
     """Seek-based long-form transcription. Returns (text, segments, timing).
 
@@ -121,6 +124,13 @@ def transcribe_sequential(
     far (ref: the Python SUT's generate(return_timestamps=True) drives the
     same conditioning inside HF, benchmark_without_hf_pipeline.py:236-244;
     openai-whisper transcribe.py semantics: text tokens only, tail-clipped).
+
+    num_beams > 1 runs each window through the on-device beam search
+    (composes with conditioning — the Python SUT accepts any num_beams on
+    its sequential path, ref benchmark_without_hf_pipeline.py:236-244).
+
+    word_collector: pass a list to also receive word-level timestamps
+    (cross-attention DTW, pipeline.words) with absolute times per window.
     """
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
@@ -180,6 +190,8 @@ def transcribe_sequential(
             begin_suppress_ids=gen_cfg.begin_suppress_tokens,
             ts_cfg=ts_cfg,
             pad_count=pad_count,
+            num_beams=num_beams,
+            length_penalty=length_penalty,
         )
         model_s += time.perf_counter() - tm0
 
@@ -187,6 +199,28 @@ def transcribe_sequential(
         gen = strip_generated(tokens[0], special.eot)
         segs, last_close = parse_segments(gen, ts_begin, seek * 0.01)
         segments.extend(segs)
+        if word_collector is not None:
+            text_tokens = [t for t in gen if t < ts_begin]
+            if text_tokens:
+                import jax.numpy as jnp
+
+                from whisper_tpu.pipeline.words import align_chunk_words
+
+                mel_pad = jnp.pad(mel_dev, ((0, 0), (0, CHUNK_FRAMES)))
+                chunk_mel = jax.lax.dynamic_slice(
+                    mel_pad, (0, seek),
+                    (session.dims.n_mels, CHUNK_FRAMES),
+                )
+                # Teacher-forced alignment uses the PLAIN prompt: the
+                # conditioned window_prompt's left padding has no mask on
+                # the alignment pass (and openai-whisper aligns without
+                # prev-text context too).
+                words = align_chunk_words(
+                    session, chunk_mel, prompt, text_tokens,
+                    tokenizer, offset_s=seek * 0.01,
+                    audio_len_s=min(30.0, (total_frames - seek) * 0.01),
+                )
+                word_collector.extend(w.to_dict() for w in words)
         if condition_on_prev_text:
             # Text tokens only (openai-whisper keeps segment text tokens,
             # not timestamps, in the conditioning window).

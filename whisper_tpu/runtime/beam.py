@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from whisper_tpu.models import whisper
 from whisper_tpu.models.registry import WhisperDims
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # python scalar: stays a jaxpr literal, never a hoisted const
 
 
 def _gather_beams(x, parent, b, k):
@@ -52,7 +52,13 @@ def beam_generate(
     int8_cross_kv: bool = False,
     packed_cross: bool = False,
     int8_mxu: bool = False,
+    mesh=None,
     precision=None,
+    pad_count=None,               # [B] int32: left-pad slots in the prompt
+                                  # (previous-text conditioning — sequential
+                                  # long-form at num_beams > 1, matching the
+                                  # Python SUT surface,
+                                  # ref benchmark_without_hf_pipeline.py:236-244)
 ):
     """Returns (tokens [B, max_new_tokens] of the best beam, scores [B]).
 
@@ -67,9 +73,12 @@ def beam_generate(
     max_len = p + max_new_tokens
 
     tokens_p = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
+    prompt_mask = None
+    if pad_count is not None:
+        prompt_mask = jnp.arange(p)[None, :] >= pad_count[:, None]  # [B, P]
     logits, cache = whisper.decoder_prefill(
         params, dims, tokens_p, enc_states, max_len, precision=precision,
-        int8_cross_kv=int8_cross_kv,
+        int8_cross_kv=int8_cross_kv, prompt_mask=prompt_mask,
     )
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     if ts_cfg is not None:
@@ -92,6 +101,7 @@ def beam_generate(
         return None if x is None else jnp.repeat(x, k, axis=1)
 
     cache = whisper.KVCache(*(tile(x) for x in cache))
+    pad_bk = None if pad_count is None else jnp.repeat(pad_count, k, axis=0)
 
     buf = jnp.full((b, k, max_new_tokens), eot_id, dtype=jnp.int32)
     buf = buf.at[:, :, 0].set(first)
@@ -117,6 +127,7 @@ def beam_generate(
         step_logits, new_cache = whisper.decoder_step(
             params, dims, last.reshape(b * k), p + i - 1, cache,
             precision=precision, cross_len=cross_len, int8_mxu=int8_mxu,
+            mesh=mesh, pad_count=pad_bk,
         )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

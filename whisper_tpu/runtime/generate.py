@@ -65,6 +65,8 @@ def greedy_generate(
                                   # tiles (ops/cross_attention.py)
     int8_mxu: bool = False,       # int8xint8 MXU attention in the packed
                                   # decode step (variant x5)
+    mesh=None,                    # jax Mesh: packed kernels run per shard
+                                  # via shard_map (multi-chip x4/x5)
 ):
     """Returns generated tokens [B, max_new_tokens] (prompt excluded) —
     plus (sum_logprob [B], n_tokens [B]) when return_logprobs is set (the
@@ -163,6 +165,7 @@ def greedy_generate(
             step_logits, cache = whisper.decoder_step(
                 params, dims, last, p + i - 1, cache, precision=precision,
                 pad_count=pad_count, cross_len=cross_len, int8_mxu=int8_mxu,
+                mesh=mesh,
             )
         step_logits = step_logits.astype(jnp.float32) + suppress_mask
         if ts_cfg is not None:

@@ -76,9 +76,13 @@ class RuntimeCfg:
                                     # MXU block matmuls at 2x bf16 peak;
                                     # requires int8_weights
     fused_encoder_mlp: bool = False  # VMEM-resident LN+FC1+GELU+FC2+res
-                                     # encoder kernel (-17% MLP chain;
-                                     # tanh GELU numerics — opt-in until
-                                     # the round-3 transcript A/B)
+                                     # encoder kernel (superseded by
+                                     # fused_encoder_block; kept for A/Bs)
+    fused_encoder_block: bool = False  # whole-layer fused encoder path:
+                                       # LN1+QKV kernel -> fused attention
+                                       # -> O+res+LN2+MLP+res kernel
+                                       # (ops/encoder_block.py; tanh GELU
+                                       # numerics, x3+-family)
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
     # incompressible (speech-like) data, so int16 halves upload time; fp32
@@ -175,6 +179,8 @@ def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
                                       fb.int8_encoder_act),
         fused_encoder_mlp=_coerce_bool(best.get("fused_encoder_mlp"),
                                        fb.fused_encoder_mlp),
+        fused_encoder_block=_coerce_bool(best.get("fused_encoder_block"),
+                                         fb.fused_encoder_block),
         fused_decoder_step=_coerce_bool(best.get("fused_decoder_step"),
                                         fb.fused_decoder_step),
         streamed_mel=_coerce_bool(best.get("streamed_mel"), fb.streamed_mel),
@@ -258,12 +264,17 @@ class WhisperSession:
             from whisper_tpu.ops.decoder_kernels import build_step_weights
 
             self._step_weights = build_step_weights(self.params, dims)
-        # Head-packed decode cross-attention (x4): single-chip only — the
-        # Pallas custom call does not partition under a mesh.
-        self._packed_cross = bool(
-            self.cfg.packed_cross_kv and self.cfg.int8_kv_cache
-            and self._mesh is None
-        )
+        # Head-packed decode cross-attention (x4/x5).  Under a mesh the
+        # kernels run per shard via shard_map (batch over 'data', head
+        # groups over 'model' — ops/*_attention.py *_sharded wrappers), so
+        # multi-chip no longer falls back to the slow XLA step (round-2
+        # VERDICT missing #4); the only mesh requirement is that the head
+        # groups divide the 'model' axis.
+        packed_ok = bool(self.cfg.packed_cross_kv and self.cfg.int8_kv_cache)
+        if packed_ok and self._mesh is not None:
+            tp = self._mesh.shape.get("model", 1)
+            packed_ok = (dims.decoder_heads // 2) % tp == 0
+        self._packed_cross = packed_ok
         self._int8_mxu = bool(self.cfg.int8_mxu_attn and self._packed_cross)
         # W8A8 encoder (x6): only meaningful when the block weights are
         # QTensors — the int8 dot needs the int8 weight operand.
@@ -322,7 +333,8 @@ class WhisperSession:
                                             precision=precision,
                                             fused_attention=fused_attn,
                                             int8_activations=self._enc_i8,
-                                            fused_mlp=self.cfg.fused_encoder_mlp)
+                                            fused_mlp=self.cfg.fused_encoder_mlp,
+                                            fused_block=self.cfg.fused_encoder_block)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
@@ -331,6 +343,7 @@ class WhisperSession:
                     int8_mxu=self._int8_mxu,
                     step_weights=sw,
                     precision=precision,
+                    mesh=self._mesh,
                 )
 
             if self._in_shardings is not None:
@@ -551,7 +564,8 @@ class WhisperSession:
                                             precision=precision,
                                             fused_attention=fused_attn,
                                             int8_activations=self._enc_i8,
-                                            fused_mlp=self.cfg.fused_encoder_mlp)
+                                            fused_mlp=self.cfg.fused_encoder_mlp,
+                                            fused_block=self.cfg.fused_encoder_block)
                 if num_beams > 1:
                     from whisper_tpu.runtime.beam import beam_generate
 
@@ -564,6 +578,8 @@ class WhisperSession:
                         packed_cross=self._packed_cross,
                         int8_mxu=self._int8_mxu,
                         precision=precision,
+                        mesh=self._mesh,
+                        pad_count=pad_counts,
                     )
                     return tokens
                 return greedy_generate(
@@ -577,9 +593,26 @@ class WhisperSession:
                     return_logprobs=with_scores,
                     precision=precision,
                     pad_count=pad_counts,
+                    mesh=self._mesh,
                 )
 
-            self._fns[key] = jax.jit(run)
+            if conditioned:
+                # Distinct code object for the conditioned (extra
+                # pad_counts arg) program: two jit'd closures sharing one
+                # __code__ but different positional-arg counts trip a jit
+                # dispatch-cache collision ("supplied 57 buffers but
+                # compiled program expected 58") on the second execution
+                # of the 9-arg variant after the 8-arg sibling compiled.
+                def run_conditioned(params, sw, mel, starts, prompt,
+                                    suppress, first_suppress, rng,
+                                    pad_counts, n_valid=None):
+                    return run(params, sw, mel, starts, prompt, suppress,
+                               first_suppress, rng, pad_counts=pad_counts,
+                               n_valid=n_valid)
+
+                self._fns[key] = jax.jit(run_conditioned)
+            else:
+                self._fns[key] = jax.jit(run)
         return self._fns[key]
 
     def transcribe_from_mel(
@@ -728,7 +761,8 @@ class WhisperSession:
                                             precision=precision,
                                             fused_attention=fused_attn,
                                             int8_activations=self._enc_i8,
-                                            fused_mlp=self.cfg.fused_encoder_mlp)
+                                            fused_mlp=self.cfg.fused_encoder_mlp,
+                                            fused_block=self.cfg.fused_encoder_block)
                 return greedy_generate(
                     params, dims, enc, prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id, ts_cfg=ts_cfg,
@@ -736,6 +770,7 @@ class WhisperSession:
                     packed_cross=self._packed_cross,
                     int8_mxu=self._int8_mxu,
                     precision=precision,
+                    mesh=self._mesh,
                 )
 
             self._fns[key] = jax.jit(run)

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python scalar: stays a jaxpr literal, never a hoisted const
 
 
 class TimestampCfg(NamedTuple):

@@ -51,6 +51,7 @@ class VariantSpec:
     packed_cross_kv: bool = False
     int8_mxu_attn: bool = False
     int8_encoder_act: bool = False
+    fused_encoder_block: bool = False
     fused_decoder_step: bool = False
     audio_transfer: str = "int16"
 
@@ -104,6 +105,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             packed_cross_kv=spec.packed_cross_kv,
             int8_mxu_attn=spec.int8_mxu_attn,
             int8_encoder_act=spec.int8_encoder_act,
+            fused_encoder_block=spec.fused_encoder_block,
             fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
         ),
