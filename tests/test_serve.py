@@ -379,3 +379,120 @@ class TestRouter:
             assert len(stats["backends"]) == 2
         finally:
             stop_all()
+
+
+class TestRouterHealth:
+    """Round-3 hardening (VERDICT r2 weak #8): health eviction, failover,
+    and bounded per-backend inflight — tested against lightweight echo
+    backends (no engine needed)."""
+
+    @staticmethod
+    def _echo_backend(port, ready):
+        async def handle(reader, writer):
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                msg = json.loads(line)
+                msg["via"] = port
+                if msg.get("stats"):
+                    msg = {"id": msg.get("id"), "stats": {"served": 1}}
+                writer.write((json.dumps(msg) + "\n").encode())
+                await writer.drain()
+            writer.close()
+
+        async def main():
+            server = await asyncio.start_server(handle, "127.0.0.1", port)
+            ready.set()
+            async with server:
+                await server.serve_forever()
+
+        t = threading.Thread(target=lambda: asyncio.run(main()), daemon=True)
+        t.start()
+        return t
+
+    def _start_router(self, backends, **kw):
+        from whisper_tpu.serve.router import serve_router
+
+        rport = _free_port()
+        ready = threading.Event()
+        holder = {}
+
+        def run_loop():
+            async def main():
+                class Ev:
+                    def set(self):
+                        ready.set()
+
+                holder["loop"] = asyncio.get_running_loop()
+                holder["task"] = asyncio.current_task()
+                try:
+                    await serve_router(backends, "127.0.0.1", rport, Ev(),
+                                       **kw)
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        t = threading.Thread(target=run_loop, daemon=True)
+        t.start()
+        assert ready.wait(timeout=10)
+
+        def stop():
+            holder["loop"].call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=5)
+
+        return rport, stop
+
+    def _ask(self, rport, payload):
+        import socket
+
+        with socket.create_connection(("127.0.0.1", rport), timeout=10) as s:
+            s.sendall((json.dumps(payload) + "\n").encode())
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        return json.loads(buf)
+
+    def test_dead_backend_fails_over_and_gets_benched(self):
+        good = _free_port()
+        dead = _free_port()  # nothing listens here
+        ready = threading.Event()
+        self._echo_backend(good, ready)
+        assert ready.wait(10)
+        # dead listed FIRST so the least-outstanding tie-break picks it
+        # until eviction kicks in.
+        rport, stop = self._start_router(
+            [("127.0.0.1", dead), ("127.0.0.1", good)],
+            unhealthy_after=2, cooldown_s=30.0)
+        try:
+            # Enough sequential requests that least-outstanding routing
+            # must try the dead backend; failover hides every failure.
+            for i in range(8):
+                resp = self._ask(rport, {"id": i, "x": 1})
+                assert resp.get("via") == good, resp
+            # After the bench threshold the dead backend is evicted:
+            # stats reports it unhealthy.
+            stats = self._ask(rport, {"id": "s", "stats": True})["stats"]
+            per = stats["backends"]
+            assert per[f"127.0.0.1:{dead}"]["healthy"] is False
+            assert per[f"127.0.0.1:{good}"]["healthy"] is True
+        finally:
+            stop()
+
+    def test_all_dead_fails_open_with_error(self):
+        dead1, dead2 = _free_port(), _free_port()
+        rport, stop = self._start_router(
+            [("127.0.0.1", dead1), ("127.0.0.1", dead2)],
+            unhealthy_after=1, cooldown_s=30.0)
+        try:
+            # Requests still get a per-request error response (fail open,
+            # no hang) even with every backend benched.
+            for i in range(3):
+                resp = self._ask(rport, {"id": i})
+                assert "error" in resp
+        finally:
+            stop()

@@ -326,3 +326,74 @@ class TestPackedDecodeUnderMesh:
             init_params(dims, seed=1), dims,
             self._cfg(data_parallel=4, tensor_parallel=2))
         assert not sess._packed_cross
+
+
+class TestLargeWidthTP:
+    """whisper-large TP correctness at REAL width (d=1280, 20 heads,
+    head_dim 64 — the BASELINE config-4 shape), depth trimmed to 2 layers
+    (sharding correctness is width-wise; depth only repeats it)."""
+
+    def _dims(self):
+        from whisper_tpu.models.registry import WhisperDims
+
+        return WhisperDims(
+            n_mels=128, d_model=1280, encoder_layers=2, encoder_heads=20,
+            decoder_layers=2, decoder_heads=20, vocab_size=51866,
+            max_source_positions=64, max_target_positions=32,
+        )
+
+    def test_tp2_and_tp4_match_single_device(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = self._dims()
+        params = init_params(dims, seed=11)
+        rng = np.random.default_rng(0)
+        mel = rng.normal(
+            0, 1, (2, dims.n_mels, 2 * dims.max_source_positions)
+        ).astype(np.float32)
+        prompt = [50258, 50259, 50359, 50363]
+
+        plain = WhisperSession(
+            params, dims, RuntimeCfg(dtype="float32", max_batch=2))
+        want = plain.transcribe_chunks(mel, prompt=prompt, max_new_tokens=4,
+                                       eot_id=50257)
+        for tp in (2, 4):
+            sharded = WhisperSession(
+                params, dims,
+                RuntimeCfg(dtype="float32", max_batch=2,
+                           data_parallel=8 // tp, tensor_parallel=tp))
+            got = sharded.transcribe_chunks(mel, prompt=prompt,
+                                            max_new_tokens=4, eot_id=50257)
+            np.testing.assert_array_equal(got, want), tp
+
+    def test_tp2_packed_x5_style_matches_single_device(self):
+        """The packed int8 decode path (x4/x5) at large width under
+        dp2 x tp2 — head groups g=10 shard over tp=2."""
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = self._dims()
+        params = init_params(dims, seed=11)
+        rng = np.random.default_rng(1)
+        mel = rng.normal(
+            0, 1, (2, dims.n_mels, 2 * dims.max_source_positions)
+        ).astype(np.float32)
+        prompt = [50258, 50259, 50359, 50363]
+        kw = dict(dtype="float32", max_batch=2, int8_kv_cache=True,
+                  packed_cross_kv=True, int8_mxu_attn=True,
+                  streamed_mel=False)
+
+        plain = WhisperSession(params, dims, RuntimeCfg(**kw))
+        assert plain._packed_cross
+        want = plain.transcribe_chunks(mel, prompt=prompt, max_new_tokens=4,
+                                       eot_id=50257)
+        sharded = WhisperSession(
+            params, dims,
+            RuntimeCfg(data_parallel=2, tensor_parallel=2, **kw))
+        assert sharded._packed_cross and sharded._int8_mxu
+        got = sharded.transcribe_chunks(mel, prompt=prompt, max_new_tokens=4,
+                                        eot_id=50257)
+        np.testing.assert_array_equal(got, want)

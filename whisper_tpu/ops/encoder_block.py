@@ -31,6 +31,17 @@ VMEM budget at whisper-base (d=512, f=2048, bf16, ROWS=512):
   out_mlp: O+FC1+FC2 4.5 MB x2 + io ~3 MB + fp32 intermediates ~5 MB
 Both inside the 16 MB budget; ``fits_vmem`` guards larger dims (medium+
 falls back to the unfused path, as with encoder_mlp).
+
+STATUS — MEASURED NEGATIVE RESULT (round 3, delta-method device time at
+bucket-16 whisper-base; docs/DECODE_ROOFLINE.md round-3 addendum):
+  unfused(+attn kernel) 21.1 ms | +fused_mlp 16.7 ms | +these kernels
+  20.3 ms.  XLA's LN->matmul fusion plus the existing MLP-only kernel
+  (ops/encoder_mlp.py, promoted to x3+ in the ladder) beats both the
+  LN+QKV kernel (-4 ms worse) and folding O-proj into the MLP kernel
+  (-1 ms worse): the extra pallas boundaries lose more overlap than the
+  saved HBM round trips buy at d=512.  Kept opt-in (cfg.fused_encoder_
+  block) with full parity tests as the documented experiment; revisit at
+  d>=1024 if a weight-streaming (non-VMEM-resident) variant is built.
 """
 
 from __future__ import annotations

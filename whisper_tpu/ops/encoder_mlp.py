@@ -14,8 +14,13 @@ requirement); GELU is the tanh approximation (no erf lowering on this
 Mosaic stack — same tradeoff as ops/pallas_mel.py), so this kernel is an
 x3+-family variant, not a parity rung.
 
-STATUS: experimental — see the measured A/B in docs/DECODE_ROOFLINE.md
-before putting it on a default path.
+STATUS: PROMOTED (round 3) — default on the x3..x6 ladder rungs.
+Device-time A/B (delta method, bucket-16 whisper-base encoder): 21.1 ms
+unfused -> 16.7 ms with this kernel.  Quality: tanh-GELU deviations are
+bounded by the tie-flip gate (tests/test_parity_margins.py) and the
+x5-vs-x4 chain pin (tests/test_fullscale_parity.py); the whole-block
+fusion follow-up measured WORSE and stayed opt-in (ops/encoder_block.py
+STATUS).
 """
 
 from __future__ import annotations

@@ -51,6 +51,7 @@ class VariantSpec:
     packed_cross_kv: bool = False
     int8_mxu_attn: bool = False
     int8_encoder_act: bool = False
+    fused_encoder_mlp: bool = False
     fused_encoder_block: bool = False
     fused_decoder_step: bool = False
     audio_transfer: str = "int16"
@@ -62,23 +63,32 @@ LADDER: Dict[str, VariantSpec] = {
     "x1": VariantSpec("x1", "fp32 storage, HIGH matmul precision",
                       "float32", "high", audio_transfer="float32"),
     "x2": VariantSpec("x2", "bf16 serving precision", "bfloat16", "default"),
-    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention",
+    # fused_encoder_mlp promoted round 3: -4.4 ms device time on the
+    # bucket-16 encoder (21.1 -> 16.7 ms, scripts/bench_encoder_block.py
+    # delta method); tanh-GELU numerics bounded by the tie-flip gate
+    # (tests/test_parity_margins.py) and the x5-vs-x4 chain pin.
+    "x3": VariantSpec("x3", "bf16 + fused Pallas log-mel + fused attention"
+                      " + fused encoder MLP",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True),
+                      fused_attention=True, fused_encoder_mlp=True),
     "x4": VariantSpec("x4", "bf16 + fused kernels + int8 weights + int8 KV",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True, int8_weights=True,
+                      fused_attention=True, fused_encoder_mlp=True,
+                      int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True),
     "x5": VariantSpec("x5", "x4 + int8xint8 MXU attention (quantized "
                       "q/probs; dequantize off the VPU)",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True, int8_weights=True,
+                      fused_attention=True, fused_encoder_mlp=True,
+                      int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True,
                       int8_mxu_attn=True),
-    "x6": VariantSpec("x6", "x5 + W8A8 encoder (dynamic activation int8, "
-                      "full int8 MXU block matmuls)",
+    "x6": VariantSpec("x6", "x5 + W8A8 encoder QKV/O (dynamic activation "
+                      "int8 MXU dots; MLP half stays on the fused bf16 "
+                      "kernel, which measured faster than W8A8)",
                       "bfloat16", "default", fused_frontend=True,
-                      fused_attention=True, int8_weights=True,
+                      fused_attention=True, fused_encoder_mlp=True,
+                      int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True,
                       int8_mxu_attn=True, int8_encoder_act=True),
 }
@@ -105,6 +115,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             packed_cross_kv=spec.packed_cross_kv,
             int8_mxu_attn=spec.int8_mxu_attn,
             int8_encoder_act=spec.int8_encoder_act,
+            fused_encoder_mlp=spec.fused_encoder_mlp,
             fused_encoder_block=spec.fused_encoder_block,
             fused_decoder_step=spec.fused_decoder_step,
             audio_transfer=spec.audio_transfer,
