@@ -43,7 +43,30 @@ def synth_audio(seconds: float, sr: int = 16_000) -> np.ndarray:
     return (0.5 * x).astype(np.float32)
 
 
+def _probe_weights() -> None:
+    """Start-of-round real-weights probe (docs/REAL_WEIGHTS.md): the
+    moment any checkpoint source appears in this environment, convert it
+    so the transcript/WER validation path can run.  stderr only — stdout
+    stays the driver's single JSON line."""
+    import contextlib
+    import io
+    import sys
+
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import probe_weights
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe_weights.main(["--convert"])
+        print("[weights-probe] " + buf.getvalue().strip(), file=sys.stderr)
+    except Exception as e:  # a probe, never a gate
+        print(f"[weights-probe] failed: {e}", file=sys.stderr)
+
+
 def main() -> None:
+    _probe_weights()
     from whisper_tpu.models.convert import init_params
     from whisper_tpu.models.registry import get_dims
     from whisper_tpu.pipeline.longform import transcribe_longform

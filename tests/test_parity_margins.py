@@ -14,7 +14,7 @@ same Δlogit measurement on x4's path.
 
 Bounds were calibrated on this suite's CPU mesh and the TPU run of
 scripts/parity_matrix.py (docs/PARITY_MATRIX.md): observed max|Δlogit| is
-O(0.1) on an O(10) logit scale for bf16 (~0.4%% relative — bf16 epsilon),
+O(0.1) on an O(10) logit scale for bf16 (~0.4% relative — bf16 epsilon),
 with ~3x headroom here.
 """
 
