@@ -220,3 +220,66 @@ class TestStreamedMel:
         got = np.asarray(session.compute_mel_streamed(padded, nv, bucket))
         want = np.asarray(session._compute_mel_single(padded, nv, bucket))
         np.testing.assert_array_equal(got, want)
+
+
+class TestDeltaTransfer:
+    """dint16 wire encoding (round 3): delta-coded int16 shipped as uint16
+    must decode BIT-EXACTLY to the int16 path's samples and mels."""
+
+    def test_decode_reconstructs_int16_exactly(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import decode_transfer
+
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-32768, 32768, 20011, dtype=np.int16)
+        d = np.diff(pcm.astype(np.int32),
+                    prepend=np.int32(0)).astype(np.uint16)
+        got = np.asarray(decode_transfer(jnp.asarray(d)))
+        want = np.asarray(decode_transfer(jnp.asarray(pcm)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_session_mel_bitwise_vs_int16(self):
+        import dataclasses
+
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.pipeline.longform import compute_mel_full
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(3)
+        audio = (0.4 * np.sin(np.arange(40 * 16000) / 20.0)
+                 + 0.05 * rng.standard_normal(40 * 16000)).astype(np.float32)
+
+        cfg16 = RuntimeCfg(dtype="float32", audio_transfer="int16")
+        cfgd = dataclasses.replace(cfg16, audio_transfer="dint16")
+        mel16, _ = compute_mel_full(WhisperSession(params, dims, cfg16),
+                                    audio)
+        meld, _ = compute_mel_full(WhisperSession(params, dims, cfgd),
+                                   audio)
+        np.testing.assert_array_equal(np.asarray(meld), np.asarray(mel16))
+
+    def test_batched_rows_encode_independently(self):
+        """Serving path: [B, L] audio delta-codes along the last axis, so
+        each row decodes standalone."""
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import decode_transfer
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(init_params(dims, seed=0), dims,
+                              RuntimeCfg(dtype="float32",
+                                         audio_transfer="dint16"))
+        rng = np.random.default_rng(1)
+        audio = rng.normal(0, 0.2, (3, 16000)).astype(np.float32)
+        enc = sess._encode_transfer(audio)
+        assert enc.dtype == np.uint16 and enc.shape == audio.shape
+        dec = np.asarray(decode_transfer(jnp.asarray(enc)))
+        pcm = np.round(np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+        np.testing.assert_allclose(
+            dec, pcm.astype(np.float32) / 32767.0, atol=1e-7)

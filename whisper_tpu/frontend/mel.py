@@ -75,6 +75,28 @@ def frame_signal(padded: jax.Array, n_frames: int) -> jax.Array:
     return jnp.concatenate([a0, a1, a2], axis=-1)
 
 
+
+def decode_transfer(audio: jax.Array) -> jax.Array:
+    """Device-side decode of the wire encodings (session._encode_transfer):
+    int16 PCM, uint16 delta-coded int16 PCM (per-row first differences mod
+    2^16; cumsum mod 2^16 + sign-extend reconstructs the int16 EXACTLY),
+    uint8 mu-law, or float32 passthrough.  Works on [..., L] (the serving
+    batch path vmaps 1-D lanes; cumsum runs along the last axis)."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32767.0)
+    if audio.dtype == jnp.uint16:
+        acc = jnp.cumsum(audio.astype(jnp.uint32), axis=-1) & 0xFFFF
+        acc = acc.astype(jnp.int32)
+        acc = jnp.where(acc >= 32768, acc - 65536, acc)
+        return acc.astype(jnp.float32) * (1.0 / 32767.0)
+    if audio.dtype == jnp.uint8:
+        y = audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        return jnp.sign(y) * (
+            jnp.expm1(jnp.abs(y) * jnp.log1p(255.0)) / 255.0
+        )
+    return audio.astype(jnp.float32)
+
+
 def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
     """Shared front-end core: framing + windowed DFT matmuls + mel
     projection + log10.  Returns log_spec [n_frames, n_mels] (fp32,
@@ -82,14 +104,12 @@ def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
     _, cosw, sinw, fb_t = _constants(n_mels)
 
     # Compact transfer encodings (the device link is bandwidth-bound):
-    # int16 halves the payload; uint8 mu-law (G.711-style) quarters it.
-    if padded_audio.dtype == jnp.int16:
-        padded_audio = padded_audio.astype(jnp.float32) * (1.0 / 32767.0)
-    elif padded_audio.dtype == jnp.uint8:
-        y = padded_audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-        padded_audio = jnp.sign(y) * (
-            jnp.expm1(jnp.abs(y) * jnp.log1p(255.0)) / 255.0
-        )
+    # int16 halves the payload; uint16 carries DELTA-coded int16 (the
+    # tunnel compresses transfers, and first differences of speech expose
+    # ~1.5x more compressibility — measured 410 -> 281 ms for a 301 s
+    # file; bit-exact after the modular-cumsum decode); uint8 mu-law
+    # (G.711-style) quarters the payload at ~37 dB SNR.
+    padded_audio = decode_transfer(padded_audio)
     frames = frame_signal(padded_audio.astype(jnp.float32), n_frames)
     # Window is folded into the DFT matrices.  HIGHEST precision: the front
     # end is the root of the token-parity contract and costs ~nothing, so we

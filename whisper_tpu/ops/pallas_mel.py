@@ -106,15 +106,12 @@ def log_mel_pallas(
 
     # Hop-strided row views: frame f = rows f, f+1, f+2 of [*, HOP] reshape.
     need = (nf_pad + 2) * HOP
-    if padded_audio.dtype == jnp.int16:  # compact transfer (frontend.mel)
-        audio = padded_audio.astype(jnp.float32) * (1.0 / 32767.0)
-    elif padded_audio.dtype == jnp.uint8:  # mu-law transfer
-        y = padded_audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-        audio = jnp.sign(y) * (
-            jnp.expm1(jnp.abs(y) * jnp.log1p(255.0)) / 255.0
-        )
-    else:
-        audio = padded_audio.astype(jnp.float32)
+    from whisper_tpu.frontend.mel import decode_transfer
+
+    # Wire decode (int16 / delta-uint16 / mu-law) runs as XLA ops ahead of
+    # the pallas framing — a global cumsum cannot live inside the
+    # frame-blocked grid.
+    audio = decode_transfer(padded_audio)
     audio = jnp.pad(audio, (0, max(0, need - audio.shape[0])))
     rows = audio[:need].reshape(nf_pad + 2, HOP)
     a0 = rows[:nf_pad]
