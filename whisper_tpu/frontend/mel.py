@@ -104,10 +104,10 @@ def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
     _, cosw, sinw, fb_t = _constants(n_mels)
 
     # Compact transfer encodings (the device link is bandwidth-bound):
-    # int16 halves the payload; uint16 carries DELTA-coded int16 (the
-    # tunnel compresses transfers, and first differences of speech expose
-    # ~1.5x more compressibility — measured 410 -> 281 ms for a 301 s
-    # file; bit-exact after the modular-cumsum decode); uint8 mu-law
+    # int16 halves the payload; uint16 carries DELTA-coded int16
+    # (bit-exact after the modular-cumsum decode; helps only when the
+    # tunnel's compressor is the throughput limiter, which is
+    # session-dependent — scripts/probe_wire.py); uint8 mu-law
     # (G.711-style) quarters the payload at ~37 dB SNR.
     padded_audio = decode_transfer(padded_audio)
     frames = frame_signal(padded_audio.astype(jnp.float32), n_frames)

@@ -85,12 +85,13 @@ class RuntimeCfg:
                                        # numerics, x3+-family)
     fused_decoder_step: bool = False  # hybrid fused decode step (x3+)
     # Host->device audio encoding. The device link is bandwidth-bound for
-    # incompressible (speech-like) data: int16 halves upload time, and
-    # dint16 (delta-coded int16, BIT-EXACT after device-side cumsum)
-    # recovers another ~1.5x from the tunnel's compressor (measured
-    # 410 -> 281 ms for a 301 s file). fp32 is kept for the strict-parity
-    # variants (x0/x1); ulaw8 stays opt-in (lossy).
-    audio_transfer: str = "dint16"
+    # incompressible (speech-like) data, so int16 halves upload time; fp32
+    # is kept for the strict-parity variants (x0/x1). dint16 (delta-coded
+    # int16, BIT-EXACT after device-side cumsum) is an opt-in that helps
+    # only when the tunnel's compressor is active — measured 410 -> 281 ms
+    # in one session but bit-rate-independent ~53 MB/s in another
+    # (scripts/probe_wire.py; docs/UPLOAD_PIPELINE.md). ulaw8 is lossy.
+    audio_transfer: str = "int16"
     # Streamed (slab-pipelined) whole-file mel upload: partitions the file's
     # frames into fixed slabs so each slab's H2D overlaps the previous
     # slab's host int16 encode + device STFT.  Bit-identical to the

@@ -54,7 +54,7 @@ class VariantSpec:
     fused_encoder_mlp: bool = False
     fused_encoder_block: bool = False
     fused_decoder_step: bool = False
-    audio_transfer: str = "dint16"
+    audio_transfer: str = "int16"
 
 
 LADDER: Dict[str, VariantSpec] = {
