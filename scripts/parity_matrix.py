@@ -1,7 +1,7 @@
 """Variant parity matrix at real whisper-base dimensions.
 
 Runs the full pipeline (audio -> mel -> encoder -> on-device greedy -> ids)
-through every optimization-ladder variant x0..x6 and records token agreement
+through every optimization-ladder variant x0..x7 and records token agreement
 against the x0 fp32-parity rung and (optionally) against the transformers
 torch oracle — the strongest available accuracy evidence while real weights
 are unreachable (docs/REAL_WEIGHTS.md). The reference establishes the same
@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SOT, EN, TRANSCRIBE, NOTS, EOT = 50258, 50259, 50359, 50363, 50257
-VARIANTS = ["x0", "x1", "x2", "x3", "x4", "x5", "x6"]
+VARIANTS = ["x0", "x1", "x2", "x3", "x4", "x5", "x6", "x7"]
 
 
 def synth_audio_30s() -> np.ndarray:

@@ -64,8 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length-penalty", type=float, default=1.0)
     # --- TPU-native extras ---
     p.add_argument("--variant", default="",
-                   choices=["", "x0", "x1", "x2", "x3", "x4", "x5", "x6", "int8"],
-                   help="optimization-ladder variant: x0..x6 or int8")
+                   choices=["", "x0", "x1", "x2", "x3", "x4", "x5", "x6",
+                            "x7", "int8"],
+                   help="optimization-ladder variant: x0..x7 or int8")
     p.add_argument("--dtype", default="", choices=["", "float32", "bfloat16"])
     p.add_argument("--matmul-precision", default="",
                    choices=["", "default", "high", "highest", "float32"])

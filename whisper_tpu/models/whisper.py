@@ -59,6 +59,12 @@ class KVCache(NamedTuple):
     cross_v: jax.Array
     cross_k_scale: Optional[jax.Array] = None
     cross_v_scale: Optional[jax.Array] = None
+    # Per-ROW fp32 scales when the self cache is int8-quantized (x7,
+    # ops/self_attention.quantize_pack_self): [L, B, G, 2, S_pad].  Each
+    # cached row is quantized independently at insert time — future rows
+    # are unknown when a row is written, so there is no shared absmax.
+    self_k_scale: Optional[jax.Array] = None
+    self_v_scale: Optional[jax.Array] = None
 
 
 def sinusoid_position_embedding(length: int, channels: int) -> np.ndarray:
@@ -333,7 +339,9 @@ def _decoder_blocks(
     # Fully-packed decode step: the SELF cache is head-packed too
     # (pack_self_cache) and updated in place by its own kernel — no carry
     # copies, no dynamic-slice fusions (ops/self_attention.py).
-    packed_self = (packed_cross and cache.self_k.shape[-1] == 128
+    int8_self = cache.self_k_scale is not None  # x7: int8 self cache with
+    packed_self = (packed_cross                 # per-row scale planes
+                   and (cache.self_k.shape[-1] == 128 or int8_self)
                    and s == 1 and pos.ndim == 0)
 
     if packed_self:
@@ -442,6 +450,7 @@ def _decoder_blocks_packed(
 
     from whisper_tpu.ops import cross_attention as _ca, self_attention as _sa
 
+    int8_self = cache.self_k_scale is not None  # x7: int8 self cache
     if mesh is not None:
         cross_attend = _ft.partial(_ca.cross_attend_step_packed_sharded,
                                    mesh=mesh)
@@ -450,12 +459,24 @@ def _decoder_blocks_packed(
             return _sa.self_attend_step_packed_sharded(
                 q, kn, vn, kc, vc, li, pos, pads, mesh=mesh,
                 interpret=interpret)
+
+        def self_attend_i8(q, kn, vn, kc, vc, ks, vs, li, pos, pads,
+                           interpret):
+            return _sa.self_attend_step_packed_int8_sharded(
+                q, kn, vn, kc, vc, ks, vs, li, pos, pads, mesh=mesh,
+                interpret=interpret)
     else:
         cross_attend = _ca.cross_attend_step_packed
 
         def self_attend(q, kn, vn, kc, vc, li, pos, pads, interpret):
             return _sa.self_attend_step_packed(
                 q, kn, vn, kc, vc, li, pos, pads, interpret=interpret)
+
+        def self_attend_i8(q, kn, vn, kc, vc, ks, vs, li, pos, pads,
+                           interpret):
+            return _sa.self_attend_step_packed_int8(
+                q, kn, vn, kc, vc, ks, vs, li, pos, pads,
+                interpret=interpret)
 
     dec = params["decoder"]
     h = dims.decoder_heads
@@ -467,17 +488,23 @@ def _decoder_blocks_packed(
     scale = jnp.asarray(dh, x.dtype) ** -0.5
 
     def block(carry, layer):
-        x, sk_full, sv_full = carry
+        x, sk_full, sv_full, ks_full, vs_full = carry
         li, p = layer
         # --- self-attention (packed kernel: attend + in-place KV write) ---
         r = _layer_norm(x, p["ln_s"], p["ln_b"])
         q = _split_heads(_dense(r, p["q_w"], p["q_b"], precision), h)
         k = _split_heads(_dense(r, p["k_w"], None, precision), h)
         v = _split_heads(_dense(r, p["v_w"], p["v_b"], precision), h)
-        ctx, sk_full, sv_full = self_attend(
-            q[:, :, 0, :] * scale, k[:, :, 0, :], v[:, :, 0, :],
-            sk_full, sv_full, li, pos, pads, interp,
-        )
+        if int8_self:
+            ctx, sk_full, sv_full, ks_full, vs_full = self_attend_i8(
+                q[:, :, 0, :] * scale, k[:, :, 0, :], v[:, :, 0, :],
+                sk_full, sv_full, ks_full, vs_full, li, pos, pads, interp,
+            )
+        else:
+            ctx, sk_full, sv_full = self_attend(
+                q[:, :, 0, :] * scale, k[:, :, 0, :], v[:, :, 0, :],
+                sk_full, sv_full, li, pos, pads, interp,
+            )
         x = x + _dense(_merge_heads(ctx[:, :, None, :]), p["o_w"], p["o_b"],
                        precision)
 
@@ -499,14 +526,18 @@ def _decoder_blocks_packed(
         r = jax.nn.gelu(_dense(r, p["fc1_w"], p["fc1_b"], precision),
                         approximate=False)
         x = x + _dense(r, p["fc2_w"], p["fc2_b"], precision)
-        return (x, sk_full, sv_full), None
+        return (x, sk_full, sv_full, ks_full, vs_full), None
 
     xs = (jnp.arange(dims.decoder_layers, dtype=jnp.int32), dec["blocks"])
-    (x, new_sk, new_sv), _ = jax.lax.scan(
-        block, (x, cache.self_k, cache.self_v), xs
+    (x, new_sk, new_sv, new_ks, new_vs), _ = jax.lax.scan(
+        block,
+        (x, cache.self_k, cache.self_v, cache.self_k_scale,
+         cache.self_v_scale),
+        xs,
     )
     x = _layer_norm(x, dec["ln_f_s"], dec["ln_f_b"])
-    return x, cache._replace(self_k=new_sk, self_v=new_sv)
+    return x, cache._replace(self_k=new_sk, self_v=new_sv,
+                             self_k_scale=new_ks, self_v_scale=new_vs)
 
 
 def _attend_int8(q, k8, v8, k_scale, v_scale, precision):

@@ -49,6 +49,46 @@ def pack_self_cache(x: jax.Array) -> jax.Array:
     return x
 
 
+def quantize_pack_self(k: jax.Array, v: jax.Array):
+    """Quantize + pack the bf16 self cache for the int8-MXU step (x7).
+
+    k, v: [L, B, H, S_max, 64] (prefill layout).  Returns
+      kt8 [L, B, G, 128, S_pad] int8  — K TRANSPOSED (sequence on lanes,
+                                        like pack_cross_kv_t: scores come
+                                        out [2, S] for a full-lane softmax)
+      v8  [L, B, G, S_pad, 128] int8  — V untransposed (PV is the natural
+                                        [2,S] x [S,128] int8 MXU matmul)
+      ks, vs [L, B, G, 2, S_pad] f32  — PER-ROW scales (each cached row is
+                                        quantized independently at insert
+                                        time; unlike the cross cache there
+                                        is no whole-sequence absmax to
+                                        share, since future rows are
+                                        unknown when a row is written)
+
+    S_pad rounds up to 128 so the lane dimension of the transposed K tiles
+    fully.  Rows at/after the current position are rewritten by the step
+    kernel before ever being attended, so their initial quantization only
+    needs to be self-consistent, not meaningful.
+    """
+    l, b, h, s, dh = k.shape
+    assert dh * PACK == LANES and h % PACK == 0
+    s_pad = _round_up(s, LANES)
+
+    def pack8(x8):
+        y = x8.reshape(l, b, h // PACK, PACK, s, dh)
+        y = jnp.swapaxes(y, 3, 4).reshape(l, b, h // PACK, s, LANES)
+        return jnp.pad(y, ((0, 0),) * 3 + ((0, s_pad - s), (0, 0)))
+
+    def pack_scale(sc):
+        y = sc.reshape(l, b, h // PACK, PACK, s)
+        return jnp.pad(y, ((0, 0),) * 4 + ((0, s_pad - s),))
+
+    k8, ks = _quant_rows(k)
+    v8, vs = _quant_rows(v)
+    return (jnp.swapaxes(pack8(k8), 3, 4), pack8(v8),
+            pack_scale(ks), pack_scale(vs))
+
+
 def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             ctx_ref, ko_ref, vo_ref, *, out_dtype):
     # scalars: [2 + B] int32 = (layer, pos, pad_counts...). Blocks:
@@ -95,6 +135,238 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
                       axis=0)                                    # [128]
         outs.append(ctx.astype(out_dtype))
     ctx_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
+
+
+def _kernel_int8(scalars_ref, q_ref, qs_ref, knt_ref, kns_ref, vn_ref,
+                 vns_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 ctx_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, out_dtype):
+    """int8xint8 MXU self-attention step with in-place int8 cache insert
+    (x7).  Mirrors cross_attention._kernel_int8_mxu's layout choices —
+    K transposed (sequence on lanes, scores [2,S] for a full-lane
+    softmax), probs requantized to int8 in-kernel — plus the cache-merge
+    writes of the bf16 self kernel, here as:
+
+      - K column insert via a selector-matrix dot ([128,G] new-keys block
+        x [G,S_pad] one-hot; Mosaic rejects lane-broadcasting a 1-lane
+        slice, and the dot lands the new key exactly in lane `pos`);
+      - V row insert as the usual masked full-block sublane write;
+      - per-row SCALES ([2,S_pad] blocks) updated with scalar fills.
+
+    Scale algebra: scores[j,s] = (q8.k8) * qscale[j] * kscale[j,s];
+    probs fold the PER-ROW v scales in BEFORE requantization
+    (p = e * vscale, one shared int8 scale per head row), so PV is a pure
+    int8 matmul and the exact 1/(ps*denom) lands in the output scale.
+    """
+    i = pl.program_id(0)
+    pos = scalars_ref[1]
+    pad = scalars_ref[2 + i]
+    n_g = k_ref.shape[2]
+    s_pad = k_ref.shape[3 + 1]  # k is [1,1,G,128,S_pad]
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]   # [128]
+    low = lane1 < 64
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 1)
+    rowmask = lanes2 // 64 == rows2
+    rows2S = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 0)
+    colS = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 1)
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (LANES, s_pad), 1)
+    rowsV = jax.lax.broadcasted_iota(jnp.int32, (s_pad, LANES), 0)
+    g_io = jax.lax.broadcasted_iota(jnp.int32, (n_g, s_pad), 0)
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (n_g, s_pad), 1)
+
+    knt = knt_ref[0].astype(jnp.float32)                      # [128, G]
+    outs = []
+    for g in range(n_g):
+        # --- K column insert (selector dot; exact for int8 values) ---
+        sel = ((g_io == g) & (s_io == pos)).astype(jnp.float32)
+        col = jnp.dot(knt, sel,
+                      preferred_element_type=jnp.float32)     # [128,S_pad]
+        kt = jnp.where(laneK == pos, col.astype(jnp.int8), k_ref[0, 0, g])
+        ko_ref[0, 0, g] = kt
+
+        # --- K scale insert ---
+        fillk = jnp.where(rows2S == 0, kns_ref[0, 0, PACK * g],
+                          kns_ref[0, 0, PACK * g + 1])
+        ks = jnp.where(colS == pos, fillk, ks_ref[0, 0, g])   # [2, S_pad]
+        kso_ref[0, 0, g] = ks
+
+        # --- V row insert ---
+        vb = jnp.where(rowsV == pos, vn_ref[0, g, :][None, :],
+                       v_ref[0, 0, g])                        # [S_pad,128]
+        vo_ref[0, 0, g] = vb
+
+        # --- V scale insert ---
+        fillv = jnp.where(rows2S == 0, vns_ref[0, 0, PACK * g],
+                          vns_ref[0, 0, PACK * g + 1])
+        vs = jnp.where(colS == pos, fillv, vs_ref[0, 0, g])
+        vso_ref[0, 0, g] = vs
+
+        # --- scores on the MXU ---
+        q8 = q_ref[0, g, :].astype(jnp.int32)                 # [128]
+        qT = jnp.where(rowmask, q8[None, :], 0).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            qT, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                 # [2, S_pad]
+        qsf = jnp.where(rows2S == 0, qs_ref[0, 0, PACK * g],
+                        qs_ref[0, 0, PACK * g + 1])
+        scores = scores * qsf * ks
+        valid = (colS <= pos) & (colS >= pad)
+        scores = jnp.where(valid, scores, neg)
+        m = jnp.max(scores, axis=1, keepdims=True)            # [2, 1]
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)             # [2, 1]
+
+        # --- fold per-row V scales into probs, requantize, PV on MXU ---
+        p = e * vs                                            # [2, S_pad]
+        pm = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+        ps = jnp.maximum(pm, 1e-30) / 127.0
+        p8 = jnp.round(p / ps).astype(jnp.int8)
+        ctx = jax.lax.dot_general(
+            p8, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                 # [2, 128]
+        s0 = ps[0, 0] / denom[0, 0]
+        s1 = ps[1, 0] / denom[1, 0]
+        outs.append(jnp.where(low, ctx[0] * s0,
+                              ctx[1] * s1).astype(out_dtype))
+    ctx_ref[0] = jnp.stack(outs, axis=0)                      # [G, 128]
+
+
+def _quant_rows(x):
+    """Per-(…, row) symmetric int8 quantization over the last axis."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    x8 = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return x8, scale[..., 0]
+
+
+def self_attend_step_packed_int8(
+    q: jax.Array,        # [B, H, 64] — already scaled by head_dim^-0.5
+    k_new: jax.Array,    # [B, H, 64] this position's key (unquantized)
+    v_new: jax.Array,    # [B, H, 64] this position's value
+    k_cache: jax.Array,  # [L, B, G, 128, S_pad] int8 (quantize_pack_self)
+    v_cache: jax.Array,  # [L, B, G, S_pad, 128] int8
+    k_scale: jax.Array,  # [L, B, G, 2, S_pad] f32 per-row scales
+    v_scale: jax.Array,  # [L, B, G, 2, S_pad] f32
+    layer: jax.Array,    # scalar int32
+    pos: jax.Array,      # scalar int32: cache slot of this token
+    pad_count=None,      # [B] int32 left-pad slots
+    *,
+    interpret: bool = False,
+):
+    """One int8-MXU self-attention decode step against (and into) the
+    quantized packed cache (variant x7).  The new K/V rows are quantized
+    per (batch, head) outside the kernel; caches AND scale planes are
+    updated in place (input_output_aliases).
+
+    Returns (ctx [B, H, 64], k_cache', v_cache', k_scale', v_scale')."""
+    b, h, dh = q.shape
+    g = h // PACK
+    s_pad = v_cache.shape[3]
+    assert k_cache.shape[3] == LANES and k_cache.shape[4] == s_pad, (
+        "int8 self step expects the transposed quantize_pack_self K layout",
+        k_cache.shape)
+
+    q8, qs = _quant_rows(q)
+    kn8, kns = _quant_rows(k_new)
+    vn8, vns = _quant_rows(v_new)
+    q_pk = q8.reshape(b, g, LANES)
+    vn_pk = vn8.reshape(b, g, LANES)
+    kn_t = jnp.swapaxes(kn8.reshape(b, g, LANES), 1, 2)       # [B, 128, G]
+    # [B, 1, H]: Mosaic requires the block's last two dims to equal the
+    # array's (or divide (8, 128)); a [B, H] array with a (1, H) block
+    # fails that at B > 1, so give the per-head scale vectors a unit
+    # sublane dim instead.
+    qs = qs.astype(jnp.float32).reshape(b, 1, h)
+    kns = kns.astype(jnp.float32).reshape(b, 1, h)
+    vns = vns.astype(jnp.float32).reshape(b, 1, h)
+
+    if pad_count is None:
+        pad_count = jnp.zeros((b,), jnp.int32)
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(pad_count, jnp.int32), (b,)),
+    ])
+
+    def _l(s):
+        return s[0] if getattr(s, "shape", ()) else s
+
+    kern = functools.partial(_kernel_int8, out_dtype=q.dtype)
+    row_spec = pl.BlockSpec((1, g, LANES), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, 1, h), lambda i, s: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    knt_spec = pl.BlockSpec((1, LANES, g), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, 1, g, LANES, s_pad),
+                           lambda i, s: (_l(s), i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, g, s_pad, LANES),
+                          lambda i, s: (_l(s), i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, 1, g, PACK, s_pad),
+                           lambda i, s: (_l(s), i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[row_spec, h_spec, knt_spec, h_spec, row_spec, h_spec,
+                  kt_spec, v_spec, sc_spec, sc_spec],
+        out_specs=(row_spec, kt_spec, v_spec, sc_spec, sc_spec),
+    )
+    ctx, k_out, v_out, ks_out, vs_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, g, LANES), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ),
+        # args: scalars(0) q(1) qs(2) knt(3) kns(4) vn(5) vns(6)
+        #       k_cache(7) v_cache(8) k_scale(9) v_scale(10)
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(scalars, q_pk, qs, kn_t, kns, vn_pk, vns,
+      k_cache, v_cache, k_scale, v_scale)
+    return ctx.reshape(b, h, dh), k_out, v_out, ks_out, vs_out
+
+
+def self_attend_step_packed_int8_sharded(
+    q, k_new, v_new, k_cache, v_cache, k_scale, v_scale, layer, pos,
+    pad_count, *, mesh, interpret: bool = False,
+):
+    """Mesh-aware wrapper for the int8 self step: batch over 'data', head
+    groups over 'model'; quantization + in-place insert happen on each
+    shard's local block."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("model", 1)
+    h_ax = "model" if tp > 1 else None
+    b = q.shape[0]
+    row = P("data", h_ax, None)
+    kv = P(None, "data", h_ax, None, None)
+    if pad_count is None:
+        pad_count = jnp.zeros((b,), jnp.int32)
+
+    def body(q, kn, vn, kc, vc, ks, vs, layer, pos, pad):
+        return self_attend_step_packed_int8(
+            q, kn, vn, kc, vc, ks, vs, layer, pos, pad,
+            interpret=interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(row, row, row, kv, kv, kv, kv, P(), P(), P("data")),
+        out_specs=(row, kv, kv, kv, kv), check_vma=False,
+    )(q, k_new, v_new, k_cache, v_cache, k_scale, v_scale,
+      layer, pos, pad_count)
 
 
 def self_attend_step_packed_sharded(

@@ -65,6 +65,9 @@ def greedy_generate(
                                   # tiles (ops/cross_attention.py)
     int8_mxu: bool = False,       # int8xint8 MXU attention in the packed
                                   # decode step (variant x5)
+    int8_self: bool = False,      # int8-quantized SELF cache + int8-MXU
+                                  # self-attention step (variant x7);
+                                  # requires int8_mxu + packed_cross
     mesh=None,                    # jax Mesh: packed kernels run per shard
                                   # via shard_map (multi-chip x4/x5)
 ):
@@ -118,15 +121,26 @@ def greedy_generate(
     cross_len = None
     if (packed_cross and int8_cross_kv and step_weights is None
             and dims.head_dim == 64 and dims.decoder_heads % 2 == 0):
-        from whisper_tpu.ops.self_attention import pack_self_cache
+        from whisper_tpu.ops.self_attention import (
+            pack_self_cache,
+            quantize_pack_self,
+        )
 
         cache = whisper.pack_cross_cache(cache, transpose_k=int8_mxu)
         # Pack the self cache too: the step then runs fully on the packed
         # kernels with in-place KV updates (ops/self_attention.py).
-        cache = cache._replace(
-            self_k=pack_self_cache(cache.self_k),
-            self_v=pack_self_cache(cache.self_v),
-        )
+        if int8_self and int8_mxu:
+            # x7: int8 rows + per-row scale planes, K transposed — the
+            # step is then int8-MXU end to end (self AND cross dots).
+            sk8, sv8, sks, svs = quantize_pack_self(cache.self_k,
+                                                    cache.self_v)
+            cache = cache._replace(self_k=sk8, self_v=sv8,
+                                   self_k_scale=sks, self_v_scale=svs)
+        else:
+            cache = cache._replace(
+                self_k=pack_self_cache(cache.self_k),
+                self_v=pack_self_cache(cache.self_v),
+            )
         cross_len = enc_states.shape[1]
     first_logits = logits[:, -1, :].astype(jnp.float32) + first_suppress_mask
     ts_state = ts.init_state(b, eot_id) if ts_cfg is not None else None

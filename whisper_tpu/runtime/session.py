@@ -71,6 +71,11 @@ class RuntimeCfg:
                                    # packed decode step (x5): quantized q +
                                    # 7-bit probs keep the dequantize off the
                                    # VPU (docs/DECODE_ROOFLINE.md)
+    int8_self_kv: bool = False     # int8-quantized SELF cache + int8-MXU
+                                   # self-attention step (x7): per-row
+                                   # scales, in-place quantized insert —
+                                   # the whole decode step is then int8 on
+                                   # the MXU (requires int8_mxu_attn)
     int8_encoder_act: bool = False  # W8A8 encoder (x6): dynamic per-row
                                     # activation quantization + int8xint8
                                     # MXU block matmuls at 2x bf16 peak;
@@ -179,6 +184,8 @@ def load_best_cfg_from_discovery(path: str) -> RuntimeCfg:
                                      fb.packed_cross_kv),
         int8_mxu_attn=_coerce_bool(best.get("int8_mxu_attn"),
                                    fb.int8_mxu_attn),
+        int8_self_kv=_coerce_bool(best.get("int8_self_kv"),
+                                  fb.int8_self_kv),
         int8_encoder_act=_coerce_bool(best.get("int8_encoder_act"),
                                       fb.int8_encoder_act),
         fused_encoder_mlp=_coerce_bool(best.get("fused_encoder_mlp"),
@@ -280,6 +287,7 @@ class WhisperSession:
             packed_ok = (dims.decoder_heads // 2) % tp == 0
         self._packed_cross = packed_ok
         self._int8_mxu = bool(self.cfg.int8_mxu_attn and self._packed_cross)
+        self._int8_self = bool(self.cfg.int8_self_kv and self._int8_mxu)
         # W8A8 encoder (x6): only meaningful when the block weights are
         # QTensors — the int8 dot needs the int8 weight operand.
         self._enc_i8 = bool(self.cfg.int8_encoder_act
@@ -359,6 +367,7 @@ class WhisperSession:
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
                     int8_mxu=self._int8_mxu,
+                    int8_self=self._int8_self,
                     step_weights=sw,
                     precision=precision,
                     mesh=self._mesh,
@@ -617,6 +626,7 @@ class WhisperSession:
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
                     int8_mxu=self._int8_mxu,
+                    int8_self=self._int8_self,
                     step_weights=None if conditioned else sw,
                     temperature=temperature, rng_key=rng,
                     return_logprobs=with_scores,
@@ -798,6 +808,7 @@ class WhisperSession:
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_cross=self._packed_cross,
                     int8_mxu=self._int8_mxu,
+                    int8_self=self._int8_self,
                     precision=precision,
                     mesh=self._mesh,
                 )

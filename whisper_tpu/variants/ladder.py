@@ -50,6 +50,7 @@ class VariantSpec:
     int8_kv_cache: bool = False
     packed_cross_kv: bool = False
     int8_mxu_attn: bool = False
+    int8_self_kv: bool = False
     int8_encoder_act: bool = False
     fused_encoder_mlp: bool = False
     fused_encoder_block: bool = False
@@ -91,6 +92,14 @@ LADDER: Dict[str, VariantSpec] = {
                       int8_weights=True,
                       int8_kv_cache=True, packed_cross_kv=True,
                       int8_mxu_attn=True, int8_encoder_act=True),
+    "x7": VariantSpec("x7", "x5 + int8 SELF cache (per-row scales, "
+                      "in-place quantized insert): the decode step's "
+                      "attention runs int8 on the MXU end to end",
+                      "bfloat16", "default", fused_frontend=True,
+                      fused_attention=True, fused_encoder_mlp=True,
+                      int8_weights=True,
+                      int8_kv_cache=True, packed_cross_kv=True,
+                      int8_mxu_attn=True, int8_self_kv=True),
 }
 LADDER["int8"] = LADDER["x4"]
 
@@ -114,6 +123,7 @@ def apply_variant(cfg: RuntimeCfg, name: str) -> tuple[RuntimeCfg, VariantSpec]:
             int8_kv_cache=spec.int8_kv_cache,
             packed_cross_kv=spec.packed_cross_kv,
             int8_mxu_attn=spec.int8_mxu_attn,
+            int8_self_kv=spec.int8_self_kv,
             int8_encoder_act=spec.int8_encoder_act,
             fused_encoder_mlp=spec.fused_encoder_mlp,
             fused_encoder_block=spec.fused_encoder_block,
