@@ -212,3 +212,34 @@ def test_fullscale_x5_matches_x4_chain(base, audio_30s):
         )
         chains[name] = strip_generated(np.asarray(toks)[0], EOT)
     assert chains["x5"] == chains["x4"]
+
+
+@pytest.mark.slow
+def test_fullscale_x7_matches_x5_chain(base, audio_30s):
+    """x7 (int8 SELF cache, per-row scales) vs x5 greedy chains at REAL
+    whisper-base dimensions — self-KV quantization noise must stay below
+    the argmax margins at full scale, mirroring the x5-vs-x4 pin above.
+    The TPU-measured counterpart is the token-agreement line printed by
+    scripts/ab_x7.py."""
+    import dataclasses
+
+    from whisper_tpu.frontend.mel import log_mel
+    from whisper_tpu.runtime.generate import strip_generated
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.variants.ladder import apply_variant
+
+    _, dims, params = base
+    mel = np.asarray(log_mel(audio_30s, bucket=3000))[None]
+
+    chains = {}
+    for name in ("x5", "x7"):
+        cfg, _ = apply_variant(RuntimeCfg(max_batch=1), name)
+        cfg = dataclasses.replace(cfg, fused_frontend=False,
+                                  fused_attention=False)
+        sess = WhisperSession(params, dims, cfg)
+        toks = sess.transcribe_chunks(
+            mel, prompt=[SOT, EN, TRANSCRIBE, NOTS],
+            max_new_tokens=6, eot_id=EOT,
+        )
+        chains[name] = strip_generated(np.asarray(toks)[0], EOT)
+    assert chains["x7"] == chains["x5"]

@@ -327,6 +327,31 @@ class TestPackedDecodeUnderMesh:
             self._cfg(data_parallel=4, tensor_parallel=2))
         assert not sess._packed_cross
 
+    def test_dp8_x7_int8_self_matches_single_device(self):
+        """The x7 int8 self cache (row-major layout, in-kernel
+        quantization) stays on under a DP mesh via the shard_map wrapper
+        (ops/self_attention.self_attend_step_packed_int8_sharded)."""
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.runtime.session import WhisperSession
+
+        dims = self._dims()
+        params = init_params(dims, seed=9)
+        rng = np.random.default_rng(5)
+        mel = rng.normal(0, 1, (8, dims.n_mels, 2 * dims.max_source_positions)
+                         ).astype(np.float32)
+
+        plain = WhisperSession(params, dims, self._cfg(int8_self_kv=True))
+        assert plain._int8_self
+        want = plain.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                       eot_id=2)
+
+        sharded = WhisperSession(
+            params, dims, self._cfg(int8_self_kv=True, data_parallel=8))
+        assert sharded._mesh is not None and sharded._int8_self
+        got = sharded.transcribe_chunks(mel, prompt=[3, 5], max_new_tokens=4,
+                                        eot_id=2)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestLargeWidthTP:
     """whisper-large TP correctness at REAL width (d=1280, 20 heads,

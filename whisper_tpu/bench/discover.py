@@ -9,7 +9,7 @@ RuntimeCfg in the discovery schema, ready for
 ``python -m whisper_tpu.bench --discovery-best-json best.json``.
 
 Run: python -m whisper_tpu.bench.discover [--audio FILE | --synthetic-s 60]
-         [--model-id ID | --model-dir DIR] [--variants x2,x4,x5]
+         [--model-id ID | --model-dir DIR] [--variants x2,x4,x5,x7]
          [--max-batches 8,16] [--out best.json] [--runs 3]
 """
 
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
                     help="synthetic audio length when --audio is not given")
     ap.add_argument("--model-id", default="openai/whisper-base")
     ap.add_argument("--model-dir", default="")
-    ap.add_argument("--variants", default="x2,x4,x5")
+    ap.add_argument("--variants", default="x2,x4,x5,x7")
     ap.add_argument("--max-batches", default="16")
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--runs", type=int, default=3)

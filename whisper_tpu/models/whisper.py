@@ -60,7 +60,7 @@ class KVCache(NamedTuple):
     cross_k_scale: Optional[jax.Array] = None
     cross_v_scale: Optional[jax.Array] = None
     # Per-ROW fp32 scales when the self cache is int8-quantized (x7,
-    # ops/self_attention.quantize_pack_self): [L, B, G, 2, S_pad].  Each
+    # ops/self_attention.quantize_pack_self): [L, B, G, S_pad, 2].  Each
     # cached row is quantized independently at insert time — future rows
     # are unknown when a row is written, so there is no shared absmax.
     self_k_scale: Optional[jax.Array] = None

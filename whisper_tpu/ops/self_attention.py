@@ -53,26 +53,33 @@ def quantize_pack_self(k: jax.Array, v: jax.Array):
     """Quantize + pack the bf16 self cache for the int8-MXU step (x7).
 
     k, v: [L, B, H, S_max, 64] (prefill layout).  Returns
-      kt8 [L, B, G, 128, S_pad] int8  — K TRANSPOSED (sequence on lanes,
-                                        like pack_cross_kv_t: scores come
-                                        out [2, S] for a full-lane softmax)
-      v8  [L, B, G, S_pad, 128] int8  — V untransposed (PV is the natural
-                                        [2,S] x [S,128] int8 MXU matmul)
-      ks, vs [L, B, G, 2, S_pad] f32  — PER-ROW scales (each cached row is
+      k8, v8 [L, B, G, S_pad, 128] int8 — both UNTRANSPOSED, the same
+                                        head-packed layout as the bf16
+                                        pack_self_cache: the step's
+                                        in-place insert is then a cheap
+                                        masked ROW write (a transposed K,
+                                        as in pack_cross_kv_t, makes the
+                                        insert a per-group selector-dot
+                                        COLUMN write — measured to cost
+                                        more than the int8 traffic saves,
+                                        scaling with L*G: +24% at base,
+                                        +18% at medium)
+      ks, vs [L, B, G, S_pad, 2] f32  — PER-ROW scales (each cached row is
                                         quantized independently at insert
                                         time; unlike the cross cache there
                                         is no whole-sequence absmax to
                                         share, since future rows are
-                                        unknown when a row is written)
+                                        unknown when a row is written),
+                                        row-major so the insert is a
+                                        masked row write too
 
-    S_pad rounds up to 128 so the lane dimension of the transposed K tiles
-    fully.  Rows at/after the current position are rewritten by the step
-    kernel before ever being attended, so their initial quantization only
-    needs to be self-consistent, not meaningful.
+    Rows at/after the current position are rewritten by the step kernel
+    before ever being attended, so their initial quantization only needs
+    to be self-consistent, not meaningful.
     """
     l, b, h, s, dh = k.shape
     assert dh * PACK == LANES and h % PACK == 0
-    s_pad = _round_up(s, LANES)
+    s_pad = _round_up(s, 16)
 
     def pack8(x8):
         y = x8.reshape(l, b, h // PACK, PACK, s, dh)
@@ -80,13 +87,12 @@ def quantize_pack_self(k: jax.Array, v: jax.Array):
         return jnp.pad(y, ((0, 0),) * 3 + ((0, s_pad - s), (0, 0)))
 
     def pack_scale(sc):
-        y = sc.reshape(l, b, h // PACK, PACK, s)
-        return jnp.pad(y, ((0, 0),) * 4 + ((0, s_pad - s),))
+        y = jnp.swapaxes(sc.reshape(l, b, h // PACK, PACK, s), 3, 4)
+        return jnp.pad(y, ((0, 0),) * 3 + ((0, s_pad - s), (0, 0)))
 
     k8, ks = _quant_rows(k)
     v8, vs = _quant_rows(v)
-    return (jnp.swapaxes(pack8(k8), 3, 4), pack8(v8),
-            pack_scale(ks), pack_scale(vs))
+    return pack8(k8), pack8(v8), pack_scale(ks), pack_scale(vs)
 
 
 def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
@@ -137,99 +143,106 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     ctx_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
 
 
-def _kernel_int8(scalars_ref, q_ref, qs_ref, knt_ref, kns_ref, vn_ref,
-                 vns_ref, k_ref, v_ref, ks_ref, vs_ref,
+def _kernel_int8(scalars_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                 ks_ref, vs_ref,
                  ctx_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, out_dtype):
     """int8xint8 MXU self-attention step with in-place int8 cache insert
-    (x7).  Mirrors cross_attention._kernel_int8_mxu's layout choices —
-    K transposed (sequence on lanes, scores [2,S] for a full-lane
-    softmax), probs requantized to int8 in-kernel — plus the cache-merge
-    writes of the bf16 self kernel, here as:
+    (x7).  Same block structure as the bf16 kernel above — K, V, and the
+    per-row scale planes are all ROW-major ([S_pad, 128] / [S_pad, 2]),
+    so every insert is a cheap masked full-block row write (a transposed
+    K, as in the cross kernel, turns the insert into a per-group
+    selector-dot column write that measured slower than the int8 traffic
+    win).  q/k_new/v_new arrive UNQUANTIZED and are quantized per head
+    IN-KERNEL (masked half-lane absmax): the host-side _quant_rows trio
+    measured 224 us/step of pure XLA launch overhead at whisper-base —
+    3.4x the whole bf16 kernel — while in here the rows are already
+    VMEM-resident.  The int8 parts:
 
-      - K column insert via a selector-matrix dot ([128,G] new-keys block
-        x [G,S_pad] one-hot; Mosaic rejects lane-broadcasting a 1-lane
-        slice, and the dot lands the new key exactly in lane `pos`);
-      - V row insert as the usual masked full-block sublane write;
-      - per-row SCALES ([2,S_pad] blocks) updated with scalar fills.
-
-    Scale algebra: scores[j,s] = (q8.k8) * qscale[j] * kscale[j,s];
-    probs fold the PER-ROW v scales in BEFORE requantization
-    (p = e * vscale, one shared int8 scale per head row), so PV is a pure
-    int8 matmul and the exact 1/(ps*denom) lands in the output scale.
+      - scores = (k8 . qsel8) on the MXU ([S_pad,128] x [128,2] int8 ->
+        int32), dequantized by the per-row K scales and the two q scales;
+      - masked softmax over SUBLANES (axis 0), like the bf16 kernel;
+      - per-row V scales fold into the probs BEFORE requantization
+        (p = e * vscale, one shared int8 scale per head column), so PV is
+        a pure int8 A^T-B matmul ([S_pad,2]^T x [S_pad,128] -> [2,128])
+        and the exact 1/(ps*denom) lands in the output scale.
     """
     i = pl.program_id(0)
     pos = scalars_ref[1]
     pad = scalars_ref[2 + i]
     n_g = k_ref.shape[2]
-    s_pad = k_ref.shape[3 + 1]  # k is [1,1,G,128,S_pad]
+    s_pad = k_ref.shape[3]
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]   # [128]
     low = lane1 < 64
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 0)
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 1)
-    rowmask = lanes2 // 64 == rows2
-    rows2S = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 0)
-    colS = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 1)
-    laneK = jax.lax.broadcasted_iota(jnp.int32, (LANES, s_pad), 1)
+    laneQ = jax.lax.broadcasted_iota(jnp.int32, (LANES, PACK), 0)
+    colQ = jax.lax.broadcasted_iota(jnp.int32, (LANES, PACK), 1)
+    qmask = laneQ // 64 == colQ                               # [128, 2]
+    rowsS2 = jax.lax.broadcasted_iota(jnp.int32, (s_pad, PACK), 0)
+    colsS2 = jax.lax.broadcasted_iota(jnp.int32, (s_pad, PACK), 1)
     rowsV = jax.lax.broadcasted_iota(jnp.int32, (s_pad, LANES), 0)
-    g_io = jax.lax.broadcasted_iota(jnp.int32, (n_g, s_pad), 0)
-    s_io = jax.lax.broadcasted_iota(jnp.int32, (n_g, s_pad), 1)
 
-    knt = knt_ref[0].astype(jnp.float32)                      # [128, G]
+    def quant_halves(row):
+        """Per-head symmetric int8 quantization of one packed [128] row
+        (lanes 0..63 = head 2g, 64..127 = head 2g+1), f32 in/out with
+        integral values; mirrors _quant_rows' absmax/127 + 1e-12 floor."""
+        a = jnp.abs(row)
+        s0 = jnp.maximum(jnp.max(jnp.where(low, a, 0.0)), 1e-12) / 127.0
+        s1 = jnp.maximum(jnp.max(jnp.where(low, 0.0, a)), 1e-12) / 127.0
+        sc = jnp.where(low, s0, s1)
+        q8 = jnp.clip(jnp.round(row / sc), -127, 127)
+        return q8, s0, s1
+
     outs = []
     for g in range(n_g):
-        # --- K column insert (selector dot; exact for int8 values) ---
-        sel = ((g_io == g) & (s_io == pos)).astype(jnp.float32)
-        col = jnp.dot(knt, sel,
-                      preferred_element_type=jnp.float32)     # [128,S_pad]
-        kt = jnp.where(laneK == pos, col.astype(jnp.int8), k_ref[0, 0, g])
-        ko_ref[0, 0, g] = kt
+        # --- in-kernel quantization of the new rows ---
+        kn8, kn_s0, kn_s1 = quant_halves(
+            kn_ref[0, g, :].astype(jnp.float32))
+        vn8, vn_s0, vn_s1 = quant_halves(
+            vn_ref[0, g, :].astype(jnp.float32))
+        q8v, q_s0, q_s1 = quant_halves(q_ref[0, g, :].astype(jnp.float32))
 
-        # --- K scale insert ---
-        fillk = jnp.where(rows2S == 0, kns_ref[0, 0, PACK * g],
-                          kns_ref[0, 0, PACK * g + 1])
-        ks = jnp.where(colS == pos, fillk, ks_ref[0, 0, g])   # [2, S_pad]
-        kso_ref[0, 0, g] = ks
-
-        # --- V row insert ---
-        vb = jnp.where(rowsV == pos, vn_ref[0, g, :][None, :],
-                       v_ref[0, 0, g])                        # [S_pad,128]
+        # --- K/V row inserts (masked full-block writes) ---
+        kb = jnp.where(rowsV == pos, kn8[None, :].astype(jnp.int8),
+                       k_ref[0, 0, g])                        # [S_pad,128]
+        ko_ref[0, 0, g] = kb
+        vb = jnp.where(rowsV == pos, vn8[None, :].astype(jnp.int8),
+                       v_ref[0, 0, g])
         vo_ref[0, 0, g] = vb
 
-        # --- V scale insert ---
-        fillv = jnp.where(rows2S == 0, vns_ref[0, 0, PACK * g],
-                          vns_ref[0, 0, PACK * g + 1])
-        vs = jnp.where(colS == pos, fillv, vs_ref[0, 0, g])
+        # --- scale-plane row inserts ([S_pad, 2] blocks) ---
+        fillk = jnp.where(colsS2 == 0, kn_s0, kn_s1)          # [S_pad, 2]
+        ks = jnp.where(rowsS2 == pos, fillk, ks_ref[0, 0, g])
+        kso_ref[0, 0, g] = ks
+        fillv = jnp.where(colsS2 == 0, vn_s0, vn_s1)
+        vs = jnp.where(rowsS2 == pos, fillv, vs_ref[0, 0, g])
         vso_ref[0, 0, g] = vs
 
-        # --- scores on the MXU ---
-        q8 = q_ref[0, g, :].astype(jnp.int32)                 # [128]
-        qT = jnp.where(rowmask, q8[None, :], 0).astype(jnp.int8)
+        # --- scores on the MXU: [S_pad,128] x [128,2] int8 -> int32 ---
+        qsel = jnp.where(qmask, q8v[:, None], 0.0).astype(jnp.int8)
         scores = jax.lax.dot_general(
-            qT, kt, (((1,), (0,)), ((), ())),
+            kb, qsel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)                                 # [2, S_pad]
-        qsf = jnp.where(rows2S == 0, qs_ref[0, 0, PACK * g],
-                        qs_ref[0, 0, PACK * g + 1])
+        ).astype(jnp.float32)                                 # [S_pad, 2]
+        qsf = jnp.where(colsS2 == 0, q_s0, q_s1)
         scores = scores * qsf * ks
-        valid = (colS <= pos) & (colS >= pad)
+        valid = (rowsS2 <= pos) & (rowsS2 >= pad)
         scores = jnp.where(valid, scores, neg)
-        m = jnp.max(scores, axis=1, keepdims=True)            # [2, 1]
+        m = jnp.max(scores, axis=0, keepdims=True)            # [1, 2]
         e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=1, keepdims=True)             # [2, 1]
+        denom = jnp.sum(e, axis=0, keepdims=True)             # [1, 2]
 
         # --- fold per-row V scales into probs, requantize, PV on MXU ---
-        p = e * vs                                            # [2, S_pad]
-        pm = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+        p = e * vs                                            # [S_pad, 2]
+        pm = jnp.max(jnp.abs(p), axis=0, keepdims=True)
         ps = jnp.maximum(pm, 1e-30) / 127.0
         p8 = jnp.round(p / ps).astype(jnp.int8)
         ctx = jax.lax.dot_general(
-            p8, vb, (((1,), (0,)), ((), ())),
+            p8, vb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)                                 # [2, 128]
         s0 = ps[0, 0] / denom[0, 0]
-        s1 = ps[1, 0] / denom[1, 0]
+        s1 = ps[0, 1] / denom[0, 1]
         outs.append(jnp.where(low, ctx[0] * s0,
                               ctx[1] * s1).astype(out_dtype))
     ctx_ref[0] = jnp.stack(outs, axis=0)                      # [G, 128]
@@ -248,10 +261,10 @@ def self_attend_step_packed_int8(
     q: jax.Array,        # [B, H, 64] — already scaled by head_dim^-0.5
     k_new: jax.Array,    # [B, H, 64] this position's key (unquantized)
     v_new: jax.Array,    # [B, H, 64] this position's value
-    k_cache: jax.Array,  # [L, B, G, 128, S_pad] int8 (quantize_pack_self)
+    k_cache: jax.Array,  # [L, B, G, S_pad, 128] int8 (quantize_pack_self)
     v_cache: jax.Array,  # [L, B, G, S_pad, 128] int8
-    k_scale: jax.Array,  # [L, B, G, 2, S_pad] f32 per-row scales
-    v_scale: jax.Array,  # [L, B, G, 2, S_pad] f32
+    k_scale: jax.Array,  # [L, B, G, S_pad, 2] f32 per-row scales
+    v_scale: jax.Array,  # [L, B, G, S_pad, 2] f32
     layer: jax.Array,    # scalar int32
     pos: jax.Array,      # scalar int32: cache slot of this token
     pad_count=None,      # [B] int32 left-pad slots
@@ -259,31 +272,22 @@ def self_attend_step_packed_int8(
     interpret: bool = False,
 ):
     """One int8-MXU self-attention decode step against (and into) the
-    quantized packed cache (variant x7).  The new K/V rows are quantized
-    per (batch, head) outside the kernel; caches AND scale planes are
-    updated in place (input_output_aliases).
+    quantized packed cache (variant x7).  The new K/V rows AND q are
+    quantized per (batch, head) INSIDE the kernel (the host-side
+    _quant_rows trio measured 224 us of pure launch overhead per step);
+    caches AND scale planes are updated in place (input_output_aliases).
 
     Returns (ctx [B, H, 64], k_cache', v_cache', k_scale', v_scale')."""
     b, h, dh = q.shape
     g = h // PACK
     s_pad = v_cache.shape[3]
-    assert k_cache.shape[3] == LANES and k_cache.shape[4] == s_pad, (
-        "int8 self step expects the transposed quantize_pack_self K layout",
+    assert k_cache.shape[3:] == (s_pad, LANES), (
+        "int8 self step expects the row-major quantize_pack_self layout",
         k_cache.shape)
 
-    q8, qs = _quant_rows(q)
-    kn8, kns = _quant_rows(k_new)
-    vn8, vns = _quant_rows(v_new)
-    q_pk = q8.reshape(b, g, LANES)
-    vn_pk = vn8.reshape(b, g, LANES)
-    kn_t = jnp.swapaxes(kn8.reshape(b, g, LANES), 1, 2)       # [B, 128, G]
-    # [B, 1, H]: Mosaic requires the block's last two dims to equal the
-    # array's (or divide (8, 128)); a [B, H] array with a (1, H) block
-    # fails that at B > 1, so give the per-head scale vectors a unit
-    # sublane dim instead.
-    qs = qs.astype(jnp.float32).reshape(b, 1, h)
-    kns = kns.astype(jnp.float32).reshape(b, 1, h)
-    vns = vns.astype(jnp.float32).reshape(b, 1, h)
+    q_pk = q.reshape(b, g, LANES)
+    kn_pk = k_new.reshape(b, g, LANES)
+    vn_pk = v_new.reshape(b, g, LANES)
 
     if pad_count is None:
         pad_count = jnp.zeros((b,), jnp.int32)
@@ -299,25 +303,18 @@ def self_attend_step_packed_int8(
     kern = functools.partial(_kernel_int8, out_dtype=q.dtype)
     row_spec = pl.BlockSpec((1, g, LANES), lambda i, s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    h_spec = pl.BlockSpec((1, 1, h), lambda i, s: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    knt_spec = pl.BlockSpec((1, LANES, g), lambda i, s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    kt_spec = pl.BlockSpec((1, 1, g, LANES, s_pad),
+    kv_spec = pl.BlockSpec((1, 1, g, s_pad, LANES),
                            lambda i, s: (_l(s), i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, g, s_pad, LANES),
-                          lambda i, s: (_l(s), i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, 1, g, PACK, s_pad),
+    sc_spec = pl.BlockSpec((1, 1, g, s_pad, PACK),
                            lambda i, s: (_l(s), i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
-        in_specs=[row_spec, h_spec, knt_spec, h_spec, row_spec, h_spec,
-                  kt_spec, v_spec, sc_spec, sc_spec],
-        out_specs=(row_spec, kt_spec, v_spec, sc_spec, sc_spec),
+        in_specs=[row_spec, row_spec, row_spec,
+                  kv_spec, kv_spec, sc_spec, sc_spec],
+        out_specs=(row_spec, kv_spec, kv_spec, sc_spec, sc_spec),
     )
     ctx, k_out, v_out, ks_out, vs_out = pl.pallas_call(
         kern,
@@ -329,11 +326,11 @@ def self_attend_step_packed_int8(
             jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
         ),
-        # args: scalars(0) q(1) qs(2) knt(3) kns(4) vn(5) vns(6)
-        #       k_cache(7) v_cache(8) k_scale(9) v_scale(10)
-        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        # args: scalars(0) q(1) kn(2) vn(3)
+        #       k_cache(4) v_cache(5) k_scale(6) v_scale(7)
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
         interpret=interpret,
-    )(scalars, q_pk, qs, kn_t, kns, vn_pk, vns,
+    )(scalars, q_pk, kn_pk, vn_pk,
       k_cache, v_cache, k_scale, v_scale)
     return ctx.reshape(b, h, dh), k_out, v_out, ks_out, vs_out
 

@@ -130,8 +130,9 @@ def greedy_generate(
         # Pack the self cache too: the step then runs fully on the packed
         # kernels with in-place KV updates (ops/self_attention.py).
         if int8_self and int8_mxu:
-            # x7: int8 rows + per-row scale planes, K transposed — the
-            # step is then int8-MXU end to end (self AND cross dots).
+            # x7: int8 rows + per-row scale planes (row-major, same
+            # head-packed layout as the bf16 cache) — the step is then
+            # int8-MXU end to end (self AND cross dots).
             sk8, sv8, sks, svs = quantize_pack_self(cache.self_k,
                                                     cache.self_v)
             cache = cache._replace(self_k=sk8, self_v=sv8,
