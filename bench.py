@@ -80,9 +80,29 @@ def main() -> None:
     # decode attention (fastest rung of the optimization ladder,
     # whisper_tpu/variants/ladder.py). BENCH_VARIANT env overrides.
     cfg, _ = apply_variant(RuntimeCfg(), VARIANT)
-    session = WhisperSession(params, dims, cfg)
 
     audio = synth_audio(AUDIO_SECONDS)
+
+    # Wire encoding: tunnel compression is session-dependent (one session
+    # measured dint16 ~1.5x faster, another measured zero compression and
+    # dint16 a wash) — probe THIS session's link and pick (utils/wireprobe).
+    # BENCH_WIRE=int16|dint16|ulaw8|f32 overrides; default "auto" probes.
+    wire = os.environ.get("BENCH_WIRE", "auto")
+    if wire == "auto":
+        import dataclasses
+
+        from whisper_tpu.utils.wireprobe import choose_audio_transfer
+
+        mode, mbps = choose_audio_transfer(audio)
+        rates = " ".join(f"{m}={v:.0f}MB/s" for m, v in mbps.items())
+        print(f"[wire-probe] {rates} -> {mode}", file=sys.stderr)
+        cfg = dataclasses.replace(cfg, audio_transfer=mode)
+    elif wire:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, audio_transfer=wire)
+
+    session = WhisperSession(params, dims, cfg)
 
     if MODE == "pipelined":
         from whisper_tpu.pipeline.pipelined import (

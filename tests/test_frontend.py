@@ -283,3 +283,71 @@ class TestDeltaTransfer:
         pcm = np.round(np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
         np.testing.assert_allclose(
             dec, pcm.astype(np.float32) / 32767.0, atol=1e-7)
+
+
+class TestPlanarDeltaTransfer:
+    """dint16p wire encoding: zig-zag deltas split into byte planes
+    (int8, [..., hi | lo]) must decode BIT-EXACTLY to the int16 path,
+    including worst-case deltas (full-range sign alternation)."""
+
+    def test_decode_reconstructs_int16_exactly(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import decode_transfer
+
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-32768, 32768, 20011, dtype=np.int16)
+        pcm[:8] = [32767, -32768, 32767, -32768, 0, -1, 1, -32768]
+        d = np.diff(pcm.astype(np.int32),
+                    prepend=np.int32(0)).astype(np.int16)
+        di = d.astype(np.int32)
+        z = ((di << 1) ^ (di >> 15)) & 0xFFFF
+        enc = np.concatenate([(z >> 8).astype(np.uint8),
+                              (z & 0xFF).astype(np.uint8)]).view(np.int8)
+        got = np.asarray(decode_transfer(jnp.asarray(enc)))
+        want = np.asarray(decode_transfer(jnp.asarray(pcm)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_session_mel_bitwise_vs_int16(self):
+        import dataclasses
+
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.pipeline.longform import compute_mel_full
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(3)
+        audio = (0.4 * np.sin(np.arange(40 * 16000) / 20.0)
+                 + 0.05 * rng.standard_normal(40 * 16000)).astype(np.float32)
+
+        cfg16 = RuntimeCfg(dtype="float32", audio_transfer="int16")
+        cfgp = dataclasses.replace(cfg16, audio_transfer="dint16p")
+        mel16, _ = compute_mel_full(WhisperSession(params, dims, cfg16),
+                                    audio)
+        melp, _ = compute_mel_full(WhisperSession(params, dims, cfgp),
+                                   audio)
+        np.testing.assert_array_equal(np.asarray(melp), np.asarray(mel16))
+
+    def test_batched_rows_encode_independently(self):
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import decode_transfer
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(init_params(dims, seed=0), dims,
+                              RuntimeCfg(dtype="float32",
+                                         audio_transfer="dint16p"))
+        rng = np.random.default_rng(1)
+        audio = rng.normal(0, 0.2, (3, 16000)).astype(np.float32)
+        enc = sess._encode_transfer(audio)
+        assert enc.dtype == np.int8
+        assert enc.shape == (3, 2 * 16000)
+        dec = np.asarray(decode_transfer(jnp.asarray(enc)))
+        pcm = np.round(np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+        np.testing.assert_allclose(
+            dec, pcm.astype(np.float32) / 32767.0, atol=1e-7)

@@ -1,0 +1,45 @@
+"""Adaptive wire-encoding probe (utils/wireprobe) + --audio-transfer flag.
+
+The probe picks this session's fastest H2D audio encoding; tunnel
+compression is session-dependent so the decision must be measured, not
+assumed (docs/UPLOAD_PIPELINE.md).  No reference counterpart (the
+reference never uploads audio).
+"""
+
+import numpy as np
+
+from whisper_tpu.utils import wireprobe
+
+
+def test_probe_rates_returns_all_candidates():
+    rates = wireprobe.probe_rates(wireprobe.synth_speechlike(2.0),
+                                  reps_big=3, reps_small=1)
+    assert set(rates) == {"int16", "dint16", "dint16p"}
+    assert all(v > 0 for v in rates.values())
+
+
+def test_choose_prefers_first_candidate_within_margin(monkeypatch):
+    # Tie (and anything within 15%) keeps the no-extra-work default.
+    monkeypatch.setattr(
+        wireprobe, "probe_rates",
+        lambda *a, **k: {"int16": 1.00, "dint16": 0.90, "dint16p": 0.88})
+    mode, mbps = wireprobe.choose_audio_transfer(np.zeros(16000, np.float32))
+    assert mode == "int16"
+    assert set(mbps) == {"int16", "dint16", "dint16p"}
+
+
+def test_choose_switches_on_clear_win(monkeypatch):
+    monkeypatch.setattr(
+        wireprobe, "probe_rates",
+        lambda *a, **k: {"int16": 1.0, "dint16": 0.6, "dint16p": 0.9})
+    mode, _ = wireprobe.choose_audio_transfer(np.zeros(16000, np.float32))
+    assert mode == "dint16"
+
+
+def test_cli_audio_transfer_flag_sets_cfg():
+    from whisper_tpu.bench.cli import build_parser
+
+    args = build_parser().parse_args(["--audio-transfer", "dint16"])
+    assert args.audio_transfer == "dint16"
+    args = build_parser().parse_args([])
+    assert args.audio_transfer == ""

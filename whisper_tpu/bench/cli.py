@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matmul-precision", default="",
                    choices=["", "default", "high", "highest", "float32"])
     p.add_argument("--max-batch", type=int, default=0)
+    p.add_argument("--audio-transfer", default="",
+                   choices=["", "f32", "int16", "dint16", "dint16p",
+                            "ulaw8", "auto"],
+                   help="H2D audio upload encoding; 'auto' probes the "
+                        "link at startup and picks int16 vs the delta "
+                        "codings (tunnel compression is session-"
+                        "dependent)")
     p.add_argument("--allow-random-init", action="store_true",
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
@@ -199,6 +206,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = dataclasses.replace(cfg, matmul_precision=args.matmul_precision)
     if args.max_batch > 0:
         cfg = dataclasses.replace(cfg, max_batch=args.max_batch)
+    if args.audio_transfer == "auto":
+        # Probe THIS session's link (tunnel compression is session-
+        # dependent, docs/UPLOAD_PIPELINE.md) and pick the upload encoding.
+        from whisper_tpu.utils.wireprobe import choose_audio_transfer
+
+        mode, mbps = choose_audio_transfer()
+        rates = " ".join(f"{m}={v:.0f}MB/s" for m, v in mbps.items())
+        print(f"[wire-probe] {rates} -> {mode}", file=sys.stderr)
+        cfg = dataclasses.replace(cfg, audio_transfer=mode)
+    elif args.audio_transfer:
+        cfg = dataclasses.replace(cfg, audio_transfer=args.audio_transfer)
     if args.data_parallel > 0:
         cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
     if args.tensor_parallel > 0:

@@ -89,6 +89,22 @@ def decode_transfer(audio: jax.Array) -> jax.Array:
         acc = acc.astype(jnp.int32)
         acc = jnp.where(acc >= 32768, acc - 65536, acc)
         return acc.astype(jnp.float32) * (1.0 / 32767.0)
+    if audio.dtype == jnp.int8:
+        # dint16p: ZIG-ZAG delta-coded int16 split into byte PLANES
+        # ([..., high bytes | low bytes], 2L int8 total).  Small deltas
+        # make the contiguous high-byte plane very low entropy (a handful
+        # of small values), which a compressing link collapses, while the
+        # decode stays exact:
+        # un-zigzag -> modular cumsum -> sign-extend (same contract as
+        # the uint16 branch above; bitwise-tested).
+        n = audio.shape[-1] // 2
+        u = audio.astype(jnp.int32) & 0xFF
+        z = (u[..., :n] << 8) | u[..., n:]            # zigzag in [0,65535]
+        d = (z >> 1) ^ -(z & 1)                       # signed 16-bit delta
+        acc = jnp.cumsum(d.astype(jnp.uint32), axis=-1) & 0xFFFF
+        acc = acc.astype(jnp.int32)
+        acc = jnp.where(acc >= 32768, acc - 65536, acc)
+        return acc.astype(jnp.float32) * (1.0 / 32767.0)
     if audio.dtype == jnp.uint8:
         y = audio.astype(jnp.float32) * (1.0 / 127.5) - 1.0
         return jnp.sign(y) * (

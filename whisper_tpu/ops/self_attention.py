@@ -52,6 +52,15 @@ def pack_self_cache(x: jax.Array) -> jax.Array:
 def quantize_pack_self(k: jax.Array, v: jax.Array):
     """Quantize + pack the bf16 self cache for the int8-MXU step (x7).
 
+    STATUS — OPT-IN, MEASURED SLOWER THAN x5: the v3 int8 step kernel
+    below is 284.8 us vs the bf16 kernel's 244.1 us per layer call
+    (scripts/bench_self_kernel.py; headline decode A/B +28%).  The self
+    step is overhead-bound, not traffic-bound, so halving cache bytes
+    cannot pay for the in-kernel per-row quantization at any model size
+    (docs/DECODE_ROOFLINE.md round-3 addendum 2).  Token agreement with
+    x5 is exact (2048/2048 on TPU); kept as the documented end-to-end
+    int8-MXU attention variant.
+
     k, v: [L, B, H, S_max, 64] (prefill layout).  Returns
       k8, v8 [L, B, G, S_pad, 128] int8 — both UNTRANSPOSED, the same
                                         head-packed layout as the bf16

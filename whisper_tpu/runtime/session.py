@@ -95,7 +95,9 @@ class RuntimeCfg:
     # int16, BIT-EXACT after device-side cumsum) is an opt-in that helps
     # only when the tunnel's compressor is active — measured 410 -> 281 ms
     # in one session but bit-rate-independent ~53 MB/s in another
-    # (scripts/probe_wire.py; docs/UPLOAD_PIPELINE.md). ulaw8 is lossy.
+    # (scripts/probe_wire.py; docs/UPLOAD_PIPELINE.md); dint16p is its
+    # byte-planar zig-zag variant (also bit-exact). utils/wireprobe picks
+    # among them at startup under --audio-transfer auto. ulaw8 is lossy.
     audio_transfer: str = "int16"
     # Streamed (slab-pipelined) whole-file mel upload: partitions the file's
     # frames into fixed slabs so each slab's H2D overlaps the previous
@@ -409,6 +411,23 @@ class WhisperSession:
             d = np.diff(pcm.astype(np.int32), axis=-1,
                         prepend=np.int32(0)).astype(np.uint16)
             return d
+        if mode == "dint16p" and audio.dtype != np.int8:
+            # Planar zig-zag deltas: like dint16, but the 16-bit values
+            # are zig-zag mapped (small magnitudes -> small codes) and the
+            # high/low bytes shipped as two CONTIGUOUS planes along the
+            # last axis ([..., hi | lo], int8, 2L bytes — same payload
+            # size).  On a compressing link the low-entropy high-byte
+            # plane collapses; decode is bit-exact
+            # (frontend.mel.decode_transfer int8 branch).
+            x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+            pcm = np.round(x * 32767.0).astype(np.int16)
+            d = np.diff(pcm.astype(np.int32), axis=-1,
+                        prepend=np.int32(0)).astype(np.int16)
+            di = d.astype(np.int32)
+            z = ((di << 1) ^ (di >> 15)) & 0xFFFF
+            hi = (z >> 8).astype(np.uint8)
+            lo = (z & 0xFF).astype(np.uint8)
+            return np.concatenate([hi, lo], axis=-1).view(np.int8)
         if mode == "ulaw8" and audio.dtype != np.uint8:
             from whisper_tpu.audio.resample import ulaw_encode
 

@@ -1,0 +1,138 @@
+"""Adaptive H2D wire-encoding probe: measure THIS session's tunnel, then
+pick the audio upload encoding.
+
+The long-form pipeline is wire-bound (docs/UPLOAD_PIPELINE.md): the model
+needs ~0.11 s per 301 s file while the audio upload costs 0.25-0.44 s, so
+the H2D encoding choice IS the headline number.  Two encodings are
+bit-exact end to end (device-side decode in frontend/mel.decode_transfer):
+
+  int16   raw PCM — half the f32 payload, entropy ~= the signal's
+  dint16  first differences mod 2^16 — same size, but high-byte entropy
+          collapses on speech-like signals, which a compressing link
+          exploits
+  dint16p zig-zag deltas split into contiguous high/low byte planes —
+          same size again, but the low-entropy bytes are contiguous so
+          a block compressor sees them as one long compressible run
+
+Which wins is SESSION-DEPENDENT: one tunnel session measured dint16 at
+~1.5x the int16 rate (281 vs 410 ms per 9.7 MB slab), another measured a
+flat ~53 MB/s regardless of payload entropy (no compression at all), in
+which case dint16 only adds host encode + device decode cost.  Probing at
+startup is the only policy that is right in both sessions.
+
+Timing uses the N-vs-n delta method (CLAUDE.md): wall-clocking a single
+transfer through the tunnel measures its ~30 ms fixed round trip, not
+bandwidth — so enqueue N uploads each consumed by a trivial device
+reduction, sync once, and difference two batch sizes.
+
+No reference counterpart (the reference runs on host CPU and uploads
+nothing); this subsystem exists because the TPU sits behind a link.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["choose_audio_transfer", "probe_rates", "synth_speechlike"]
+
+
+def synth_speechlike(seconds: float = 60.0, sr: int = 16_000) -> np.ndarray:
+    """Deterministic chirp+noise signal whose delta-compressibility is in
+    the same regime as real speech (dominant low-frequency energy with a
+    small wideband floor)."""
+    n = int(seconds * sr)
+    rng = np.random.default_rng(42)
+    t = np.arange(n, dtype=np.float64) / sr
+    x = (
+        0.3 * np.sin(2 * np.pi * (180 + 60 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        + 0.15 * np.sin(2 * np.pi * 920 * t)
+        + 0.04 * rng.standard_normal(n)
+    )
+    return (0.5 * x).astype(np.float32)
+
+
+def _encode(pcm: np.ndarray, mode: str) -> np.ndarray:
+    if mode == "int16":
+        return pcm
+    if mode == "dint16":
+        return np.diff(pcm.astype(np.int32),
+                       prepend=np.int32(0)).astype(np.uint16)
+    if mode == "dint16p":
+        # Planar zig-zag deltas (session._encode_transfer "dint16p").
+        d = np.diff(pcm.astype(np.int32),
+                    prepend=np.int32(0)).astype(np.int16)
+        di = d.astype(np.int32)
+        z = ((di << 1) ^ (di >> 15)) & 0xFFFF
+        return np.concatenate([(z >> 8).astype(np.uint8),
+                               (z & 0xFF).astype(np.uint8)]).view(np.int8)
+    raise ValueError(f"unknown probe encoding {mode!r}")
+
+
+def probe_rates(
+    audio: Optional[np.ndarray] = None,
+    candidates: Tuple[str, ...] = ("int16", "dint16", "dint16p"),
+    sample_s: float = 60.0,
+    reps_big: int = 8,
+    reps_small: int = 2,
+) -> Dict[str, float]:
+    """Measure per-upload seconds for each candidate encoding of (a slice
+    of) ``audio`` on the current default device.  Returns {mode: seconds
+    per upload}."""
+    import jax
+    import jax.numpy as jnp
+
+    if audio is None:
+        audio = synth_speechlike(sample_s)
+    n = min(len(audio), int(sample_s * 16_000))
+    x = np.clip(np.asarray(audio[:n], dtype=np.float32), -1.0, 1.0)
+    pcm = np.round(x * 32767.0).astype(np.int16)
+
+    @jax.jit
+    def consume(v):
+        return jnp.sum(v.astype(jnp.float32))
+
+    def run(payload: np.ndarray, reps: int) -> float:
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(reps):
+            acc = consume(jnp.asarray(payload))
+        float(np.asarray(acc))  # one sync at the end
+        return time.perf_counter() - t0
+
+    out: Dict[str, float] = {}
+    for mode in candidates:
+        payload = _encode(pcm, mode)
+        run(payload, 1)  # warm: compile consume for this dtype + 1 upload
+        t_small = run(payload, reps_small)
+        t_big = run(payload, reps_big)
+        out[mode] = max((t_big - t_small) / (reps_big - reps_small), 1e-9)
+    return out
+
+
+def choose_audio_transfer(
+    audio: Optional[np.ndarray] = None,
+    candidates: Tuple[str, ...] = ("int16", "dint16", "dint16p"),
+    margin: float = 1.15,
+) -> Tuple[str, Dict[str, float]]:
+    """Pick the fastest upload encoding for this session's link.
+
+    Prefers the FIRST candidate (int16, the no-extra-work default) unless
+    a later one beats it by more than ``margin`` — a real tunnel
+    compression win measures ~1.5x, while an uncompressing session's
+    jitter on this sample size is ~10%, so 15% cleanly separates the two
+    (measured: int16=22 dint16=24 dint16p=23 MB/s on a flat session).
+    Returns (mode, {mode: MB/s})."""
+    rates = probe_rates(audio, candidates)
+    n_bytes = 2 * min(
+        len(audio) if audio is not None else int(60.0 * 16_000),
+        int(60.0 * 16_000),
+    )
+    mbps = {m: n_bytes / s / 1e6 for m, s in rates.items()}
+    best = candidates[0]
+    for mode in candidates[1:]:
+        if rates[mode] * margin < rates[best]:
+            best = mode
+    return best, mbps

@@ -93,8 +93,11 @@ LADDER: Dict[str, VariantSpec] = {
                       int8_kv_cache=True, packed_cross_kv=True,
                       int8_mxu_attn=True, int8_encoder_act=True),
     "x7": VariantSpec("x7", "x5 + int8 SELF cache (per-row scales, "
-                      "in-place quantized insert): the decode step's "
-                      "attention runs int8 on the MXU end to end",
+                      "in-place quantized insert): attention int8 on the "
+                      "MXU end to end. Exact token agreement with x5 but "
+                      "MEASURED SLOWER (+17%/kernel call — the self step "
+                      "is overhead-bound, not traffic-bound; "
+                      "docs/DECODE_ROOFLINE.md addendum 2); kept opt-in",
                       "bfloat16", "default", fused_frontend=True,
                       fused_attention=True, fused_encoder_mlp=True,
                       int8_weights=True,
