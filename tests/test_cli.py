@@ -397,6 +397,49 @@ class TestCli:
         # grammar forces timestamps even under beam search
         assert "<|" in jrows[0]["text"]
 
+    def test_write_srt_vtt_with_word_timestamps(
+        self, model_dir, audio_dir, tmp_path
+    ):
+        """--write-srt/--write-vtt emit subtitle files next to the CSV
+        (beyond-reference surface, bench/subtitles.py)."""
+        from whisper_tpu.bench.cli import main
+
+        out = tmp_path / "subs"
+        rc = main([
+            "--audio-dir", audio_dir,
+            "--model-id", "test/whisper-nano",
+            "--onnx-dir", model_dir,
+            "--limit-files", "1",
+            "--max-new-tokens", "4",
+            "--word-timestamps",
+            "--write-srt",
+            "--write-vtt",
+            "--out-csv", str(out / "c.csv"),
+            "--out-json", str(out / "j.json"),
+            "--out-summary-json", str(out / "s.json"),
+            "--dtype", "float32",
+        ])
+        assert rc == 0
+        srt = (out / "a_first.srt").read_text()
+        vtt = (out / "a_first.vtt").read_text()
+        assert vtt.startswith("WEBVTT")
+        # random-weight nano model may emit no words; when it does,
+        # the SRT must carry indexed arrow-time cues
+        if srt.strip():
+            assert srt.splitlines()[0] == "1"
+            assert " --> " in srt
+
+    def test_write_srt_requires_timing_source(self, audio_dir, tmp_path):
+        from whisper_tpu.bench.cli import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "--audio-dir", audio_dir,
+                "--model-id", "test/whisper-nano",
+                "--write-srt",
+                "--out-csv", str(tmp_path / "c.csv"),
+            ])
+
 
 class TestDCNFlags:
     def test_dcn_flags_invoke_init_distributed(self, tmp_path, monkeypatch):

@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intra-op", type=int, default=0)
     p.add_argument("--inter-op", type=int, default=0)
     p.add_argument("--write-txt", action="store_true")
+    p.add_argument("--write-srt", action="store_true",
+                   help="write <stem>.srt subtitles next to the CSV; needs "
+                        "a timing source: --word-timestamps or "
+                        "--longform-mode sequential (bench/subtitles.py)")
+    p.add_argument("--write-vtt", action="store_true",
+                   help="write <stem>.vtt WebVTT subtitles (same timing "
+                        "sources as --write-srt)")
     p.add_argument("--tokenizer-json", default="")
     p.add_argument("--timestamps", action="store_true")
     p.add_argument("--chunk-parallelism", type=int, default=0,
@@ -163,6 +170,15 @@ def _build_session(args, cfg):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if (args.write_srt or args.write_vtt) and not (
+        args.word_timestamps or args.longform_mode == "sequential"
+    ):
+        raise SystemExit(
+            "--write-srt/--write-vtt need a cue timing source: pass "
+            "--word-timestamps (any long-form mode) or "
+            "--longform-mode sequential (timestamped segments)"
+        )
 
     # Multi-host init must happen before any other jax backend use.
     if args.dcn_coordinator:
@@ -383,6 +399,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             next_future = executor.submit(_load, files[idx + 1], True)
 
         words = None
+        segments = None
         if args.longform_mode == "pipelined":
             from whisper_tpu.pipeline.pipelined import (
                 transcribe_longform_pipelined,
@@ -401,7 +418,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             from whisper_tpu.pipeline.sequential import transcribe_sequential
 
             words = [] if args.word_timestamps else None
-            text, _segments, t = transcribe_sequential(
+            text, segments, t = transcribe_sequential(
                 session, audio, args.language, args.task,
                 args.max_new_tokens, tokenizer, gen_cfg,
                 condition_on_prev_text=args.condition_on_prev_text,
@@ -446,6 +463,23 @@ def main(argv: Optional[List[str]] = None) -> int:
             stem = Path(fnm).stem
             with open(os.path.join(txt_dir, f"{stem}.transcript.txt"), "w") as f:
                 f.write(text.strip() + "\n")
+
+        if args.write_srt or args.write_vtt:
+            from whisper_tpu.bench.subtitles import (
+                cues_from_segments,
+                cues_from_words,
+                write_subtitles,
+            )
+
+            # Word timings are the finer source; sequential segments
+            # otherwise (flag validation guaranteed one exists).
+            cues = (cues_from_words(words) if words
+                    else cues_from_segments(segments or []))
+            stem = Path(fnm).stem
+            if args.write_srt:
+                write_subtitles(os.path.join(txt_dir, f"{stem}.srt"), cues)
+            if args.write_vtt:
+                write_subtitles(os.path.join(txt_dir, f"{stem}.vtt"), cues)
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
