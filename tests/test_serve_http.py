@@ -1,0 +1,209 @@
+"""OpenAI-compatible HTTP server tests (serve/http_server.py): multipart
+parsing, the /v1/audio/* routes over a live ThreadingHTTPServer, response
+formats, and error shapes."""
+
+import json
+import struct
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from whisper_tpu.models.convert import init_params
+from whisper_tpu.models.registry import get_dims
+from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+from whisper_tpu.serve.http_server import (
+    TranscriptionService,
+    make_server,
+    parse_multipart,
+)
+
+BOUNDARY = "whispertpuTESTboundary"
+
+
+def _wav_bytes(seconds=1.0, seed=0, sr=16000):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(0, 0.1, int(seconds * sr)).astype(np.float32)
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+def _multipart_body(fields=None, file_bytes=None, filename="a.wav"):
+    parts = []
+    for k, vals in (fields or {}).items():
+        for v in (vals if isinstance(vals, list) else [vals]):
+            parts.append(
+                (f'--{BOUNDARY}\r\nContent-Disposition: form-data; '
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode())
+    if file_bytes is not None:
+        parts.append(
+            (f'--{BOUNDARY}\r\nContent-Disposition: form-data; '
+             f'name="file"; filename="{filename}"\r\n'
+             f'Content-Type: audio/wav\r\n\r\n').encode()
+            + file_bytes + b"\r\n")
+    parts.append(f"--{BOUNDARY}--\r\n".encode())
+    body = b"".join(parts)
+    return body, f"multipart/form-data; boundary={BOUNDARY}"
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+class TestMultipartParser:
+    def test_fields_files_and_repeats(self):
+        body, ctype = _multipart_body(
+            fields={"model": "whisper-1",
+                    "timestamp_granularities[]": ["word", "segment"]},
+            file_bytes=b"RIFFxxxx", filename="x.wav")
+        fields, files = parse_multipart(ctype, body)
+        assert fields["model"] == ["whisper-1"]
+        assert fields["timestamp_granularities[]"] == ["word", "segment"]
+        assert files["file"] == ("x.wav", b"RIFFxxxx")
+
+    def test_binary_file_survives(self):
+        blob = bytes(range(256)) * 3
+        body, ctype = _multipart_body(file_bytes=blob)
+        _, files = parse_multipart(ctype, body)
+        assert files["file"][1] == blob
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    dims = get_dims("test/whisper-nano")
+    session = WhisperSession(
+        init_params(dims, seed=0), dims,
+        RuntimeCfg(dtype="float32", max_batch=4),
+    )
+    engine = StreamingEngine(
+        session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=2))
+    engine.warmup(batch=1)
+    service = TranscriptionService(engine, "test/whisper-nano")
+    httpd = make_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{port}"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        engine.close()
+        t.join(timeout=10)
+
+
+class TestRoutes:
+    def test_healthz_and_models(self, server_url):
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            assert json.load(r) == {"status": "ok"}
+        with urllib.request.urlopen(server_url + "/v1/models") as r:
+            models = json.load(r)
+        assert models["object"] == "list"
+        assert models["data"][0]["id"] == "test/whisper-nano"
+
+    def test_transcription_json_default(self, server_url):
+        body, ctype = _multipart_body(fields={"model": "whisper-1"},
+                                      file_bytes=_wav_bytes(1.0))
+        status, rtype, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200 and rtype.startswith("application/json")
+        out = json.loads(payload)
+        assert set(out) == {"text"}
+        assert isinstance(out["text"], str)
+
+    def test_transcription_text_format(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"response_format": "text"}, file_bytes=_wav_bytes(1.0))
+        status, rtype, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200 and rtype.startswith("text/plain")
+        assert payload.endswith(b"\n")
+
+    def test_transcription_srt_and_vtt(self, server_url):
+        for fmt, expect in (("srt", None), ("vtt", b"WEBVTT")):
+            body, ctype = _multipart_body(
+                fields={"response_format": fmt}, file_bytes=_wav_bytes(1.0))
+            status, rtype, payload = _post(
+                server_url + "/v1/audio/transcriptions", body, ctype)
+            assert status == 200
+            if expect:
+                assert payload.startswith(expect)
+            if b"-->" in payload:  # any cue uses the right time separator
+                sep = b"," if fmt == "srt" else b"."
+                assert sep in payload.split(b"-->")[0][-6:]
+
+    def test_verbose_json_shape(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"response_format": "verbose_json",
+                    "timestamp_granularities[]": ["word", "segment"],
+                    "temperature": "0"},
+            file_bytes=_wav_bytes(1.5))
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        out = json.loads(payload)
+        assert out["task"] == "transcribe"
+        assert out["duration"] == pytest.approx(1.5, abs=0.01)
+        assert isinstance(out["segments"], list)
+        assert "words" in out
+        for seg in out["segments"]:
+            assert {"id", "start", "end", "text"} <= set(seg)
+
+    def test_translation_route(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"response_format": "verbose_json"},
+            file_bytes=_wav_bytes(1.0))
+        status, _, payload = _post(
+            server_url + "/v1/audio/translations", body, ctype)
+        assert status == 200
+        assert json.loads(payload)["task"] == "translate"
+
+    def test_language_override_uses_direct_path(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"language": "de"}, file_bytes=_wav_bytes(1.0))
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        assert "text" in json.loads(payload)
+
+    def test_missing_file_400(self, server_url):
+        body, ctype = _multipart_body(fields={"model": "whisper-1"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url + "/v1/audio/transcriptions", body, ctype)
+        assert exc.value.code == 400
+        err = json.load(exc.value)
+        assert err["error"]["type"] == "invalid_request_error"
+        assert "file" in err["error"]["message"]
+
+    def test_bad_response_format_400(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"response_format": "yaml"}, file_bytes=_wav_bytes(0.5))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url + "/v1/audio/transcriptions", body, ctype)
+        assert exc.value.code == 400
+
+    def test_non_multipart_400(self, server_url):
+        req = urllib.request.Request(
+            server_url + "/v1/audio/transcriptions", data=b"{}",
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+
+    def test_unknown_route_404(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(server_url + "/nope", timeout=60)
+        assert exc.value.code == 404
+
+    def test_stats_endpoint(self, server_url):
+        with urllib.request.urlopen(server_url + "/stats", timeout=60) as r:
+            stats = json.load(r)
+        assert "batches" in stats and "longform" in stats

@@ -1,0 +1,350 @@
+"""OpenAI-compatible HTTP transcription server.
+
+Beyond-reference serving surface: the reference ships only offline batch
+benchmarks (src/main.rs CLI); real deployments of its SUTs are fronted by
+the OpenAI audio API shape, so this module exposes the continuous-batching
+engine (serve/engine.py) over the de-facto standard REST endpoints:
+
+  POST /v1/audio/transcriptions   multipart/form-data:
+        file                      audio (wav always; mp3/flac/ogg/m4a...
+                                  when the native FFmpeg decoder is built)
+        model                     echoed back (the server's model is fixed)
+        language                  ISO-639-1 or "auto" (default: server's)
+        response_format           json | text | srt | vtt | verbose_json
+        temperature               accepted, echoed in verbose_json
+        timestamp_granularities[] word and/or segment (verbose_json only)
+  POST /v1/audio/translations     same fields, task=translate
+  GET  /v1/models                 OpenAI model-list shape
+  GET  /healthz                   {"status":"ok"}
+  GET  /stats                     engine counters (serve/engine.py)
+
+Routing: plain text/json requests that match the engine's configured
+language+task ride the continuous-batching short lane (cross-request
+fusion, serve/engine.py); requests needing timing (srt/vtt/verbose_json)
+or a per-request language/task override run the long-form pipeline
+directly with the cross-attention DTW word aligner (pipeline/words.py)
+and are serialized by a lock so they cannot starve the batched lane.
+
+stdlib-only (http.server + email multipart parsing): no flask/fastapi in
+the runtime image, and the reference's own servers are dependency-light.
+
+Run: python -m whisper_tpu.serve.http_server --allow-random-init \
+         --model-id openai/whisper-base --variant x5 --port 8000
+Try: curl -F file=@a.wav -F response_format=srt \
+         http://127.0.0.1:8000/v1/audio/transcriptions
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+from email.parser import BytesParser
+from email.policy import default as _EMAIL_POLICY
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from whisper_tpu.audio.io import load_audio_16k_mono
+from whisper_tpu.bench.subtitles import (
+    Cue,
+    cues_from_words,
+    format_srt,
+    format_vtt,
+)
+from whisper_tpu.pipeline.longform import transcribe_longform
+from whisper_tpu.serve.engine import StreamingEngine
+
+MAX_BODY_BYTES = 512 * 1024 * 1024  # matches the TCP server's line limit
+RESPONSE_FORMATS = ("json", "text", "srt", "vtt", "verbose_json")
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, message: str,
+                 err_type: str = "invalid_request_error"):
+        super().__init__(message)
+        self.status = status
+        self.err_type = err_type
+
+
+def parse_multipart(content_type: str, body: bytes) -> Tuple[
+    Dict[str, List[str]], Dict[str, Tuple[str, bytes]]
+]:
+    """Parse a multipart/form-data body into (fields, files).
+
+    fields maps name -> list of values (repeated fields accumulate, e.g.
+    ``timestamp_granularities[]``); files maps name -> (filename, bytes).
+    Uses the stdlib email package — the body is re-framed as a MIME
+    message so BytesParser handles boundaries/quoting/charsets.
+    """
+    head = (f"Content-Type: {content_type}\r\n"
+            f"MIME-Version: 1.0\r\n\r\n").encode("ascii", "replace")
+    msg = BytesParser(policy=_EMAIL_POLICY).parsebytes(head + body)
+    if not msg.is_multipart():
+        raise HttpError(400, "expected multipart/form-data body")
+    fields: Dict[str, List[str]] = {}
+    files: Dict[str, Tuple[str, bytes]] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        filename = part.get_filename()
+        if filename:
+            files[name] = (filename, payload)
+        else:
+            fields.setdefault(name, []).append(
+                payload.decode("utf-8", "replace"))
+    return fields, files
+
+
+def _decode_upload(filename: str, data: bytes) -> Tuple[np.ndarray, float]:
+    """Decode an uploaded audio file to float32 mono @16 kHz.
+
+    Goes through audio.io.load_audio_16k_mono (native FFmpeg decoder when
+    built, WAV fallback otherwise) via a temp file carrying the original
+    extension so the demuxer can sniff the container.
+    """
+    if not data:
+        raise HttpError(400, "uploaded file is empty")
+    ext = os.path.splitext(filename or "audio.wav")[1].lower() or ".wav"
+    fd, path = tempfile.mkstemp(suffix=ext)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        try:
+            audio, _, duration = load_audio_16k_mono(path)
+        except Exception as e:
+            raise HttpError(400, f"could not decode audio: {e}")
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    if audio.size == 0:
+        raise HttpError(400, "audio decoded to zero samples")
+    return audio, duration
+
+
+class TranscriptionService:
+    """Request router over a StreamingEngine.
+
+    Batched-lane fast path for plain text; direct long-form pipeline
+    (with word timestamps) for timing formats and per-request overrides.
+    """
+
+    def __init__(self, engine: StreamingEngine, model_label: str):
+        self.engine = engine
+        self.model_label = model_label
+        # Direct pipeline calls bypass the engine's worker serialization,
+        # so serialize them here (JAX dispatch is thread-safe, but the
+        # session's bucket-compile cache is warmest single-file).
+        self._direct_lock = threading.Lock()
+
+    # -- core paths ---------------------------------------------------------
+
+    def transcribe_text(self, audio: np.ndarray, language: str,
+                        task: str) -> str:
+        cfg = self.engine.cfg
+        if task == cfg.task and language in ("", cfg.language):
+            return self.engine.transcribe(audio)
+        text, _ = self._direct(audio, language or cfg.language, task,
+                               collect_words=False)
+        return text
+
+    def transcribe_verbose(self, audio: np.ndarray, language: str,
+                           task: str) -> Tuple[str, List[dict]]:
+        """Returns (text, words) where words are {word,start,end} dicts in
+        absolute file time (cross-attention DTW, pipeline/words.py)."""
+        return self._direct(audio, language or self.engine.cfg.language,
+                            task, collect_words=True)
+
+    def _direct(self, audio, language, task, collect_words):
+        cfg = self.engine.cfg
+        words: List[dict] = []
+        with self._direct_lock:
+            text, _ = transcribe_longform(
+                self.engine.session, audio, language, task,
+                cfg.max_new_tokens, cfg.chunk_length_s, cfg.overlap_s,
+                self.engine.tokenizer, False, self.engine.gen_cfg,
+                word_collector=words if collect_words else None,
+            )
+        return text, words
+
+    # -- response shaping ---------------------------------------------------
+
+    def respond(self, audio: np.ndarray, duration: float, task: str,
+                fields: Dict[str, List[str]]) -> Tuple[str, str]:
+        """Run one request; returns (content_type, payload)."""
+        def field(name: str, default: str = "") -> str:
+            return fields.get(name, [default])[0].strip()
+
+        language = field("language")
+        fmt = field("response_format", "json")
+        if fmt not in RESPONSE_FORMATS:
+            raise HttpError(
+                400, f"response_format must be one of {RESPONSE_FORMATS}")
+
+        if fmt in ("json", "text"):
+            text = self.transcribe_text(audio, language, task)
+            if fmt == "text":
+                return "text/plain; charset=utf-8", text + "\n"
+            return "application/json", json.dumps({"text": text})
+
+        text, words = self.transcribe_verbose(audio, language, task)
+        cues = cues_from_words(words)
+        if not cues and text.strip():
+            # No word timings (e.g. tokenizer-less [TOKENS:...] output):
+            # one cue spanning the file keeps srt/vtt/segments non-empty.
+            cues = [Cue(0.0, duration, text.strip())]
+
+        if fmt == "srt":
+            return "text/plain; charset=utf-8", format_srt(cues)
+        if fmt == "vtt":
+            return "text/vtt; charset=utf-8", format_vtt(cues)
+
+        granularities = [g.strip() for g in
+                         fields.get("timestamp_granularities[]", [])
+                         + fields.get("timestamp_granularities", [])]
+        out = {
+            "task": "translate" if task == "translate" else "transcribe",
+            "language": language or self.engine.cfg.language,
+            "duration": round(duration, 3),
+            "text": text,
+            "segments": [
+                {"id": i, "start": round(c.start_s, 3),
+                 "end": round(c.end_s, 3), "text": c.text}
+                for i, c in enumerate(cues)
+            ],
+        }
+        if "word" in granularities:
+            out["words"] = [
+                {"word": w["word"], "start": round(w["start"], 3),
+                 "end": round(w["end"], 3)}
+                for w in words
+            ]
+        t = fields.get("temperature")
+        if t:
+            out["temperature"] = float(t[0])
+        return "application/json", json.dumps(out)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # Set by make_server():
+    service: TranscriptionService = None  # type: ignore[assignment]
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing -----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("WHISPER_TPU_HTTP_LOG"):
+            sys.stderr.write(
+                f"{self.address_string()} - {fmt % args}\n")
+
+    def _send(self, status: int, content_type: str, payload) -> None:
+        body = payload.encode("utf-8") if isinstance(payload, str) else payload
+        self.send_response(status)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_error_json(self, status: int, message: str,
+                         err_type: str = "invalid_request_error") -> None:
+        self._send(status, "application/json", json.dumps(
+            {"error": {"message": message, "type": err_type}}))
+
+    def _read_body(self) -> bytes:
+        length = self.headers.get("Content-Length")
+        if length is None:
+            raise HttpError(411, "Content-Length required")
+        n = int(length)
+        if n > MAX_BODY_BYTES:
+            raise HttpError(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+        return self.rfile.read(n)
+
+    # -- routes -------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, "application/json", json.dumps({"status": "ok"}))
+        elif self.path == "/stats":
+            self._send(200, "application/json",
+                       json.dumps(self.service.engine.stats))
+        elif self.path == "/v1/models":
+            self._send(200, "application/json", json.dumps({
+                "object": "list",
+                "data": [{"id": self.service.model_label, "object": "model",
+                          "owned_by": "whisper_tpu"}],
+            }))
+        else:
+            self._send_error_json(404, f"no route {self.path}")
+
+    def do_POST(self):
+        if self.path == "/v1/audio/transcriptions":
+            task = "transcribe"
+        elif self.path == "/v1/audio/translations":
+            task = "translate"
+        else:
+            self._send_error_json(404, f"no route {self.path}")
+            return
+        try:
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart/form-data" not in ctype:
+                raise HttpError(400, "expected multipart/form-data")
+            fields, files = parse_multipart(ctype, self._read_body())
+            if "file" not in files:
+                raise HttpError(400, "missing 'file' form part")
+            filename, data = files["file"]
+            audio, duration = _decode_upload(filename, data)
+            content_type, payload = self.service.respond(
+                audio, duration, task, fields)
+            self._send(200, content_type, payload)
+        except HttpError as e:
+            self._send_error_json(e.status, str(e), e.err_type)
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # per-request isolation, like the TCP server
+            self._send_error_json(500, f"{type(e).__name__}: {e}",
+                                  "server_error")
+
+
+def make_server(service: TranscriptionService, host: str,
+                port: int) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None) -> int:
+    from whisper_tpu.serve.server import add_model_args, build_engine
+
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    engine = build_engine(args)
+    label = args.model_dir or args.model_id
+    print(f"Compiling serving program "
+          f"(max_batch={engine.session.cfg.max_batch})...")
+    engine.warmup()
+    httpd = make_server(TranscriptionService(engine, label),
+                        args.host, args.port)
+    print(f"Serving OpenAI-compatible API on http://{args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        engine.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

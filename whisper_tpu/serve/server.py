@@ -115,15 +115,14 @@ async def serve(engine: StreamingEngine, host: str, port: int,
         await server.serve_forever()
 
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description=__doc__)
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    """Model/engine flags shared by the TCP and HTTP front ends."""
+    from whisper_tpu.variants.ladder import LADDER
+
     p.add_argument("--model-dir", default="")
     p.add_argument("--model-id", default="openai/whisper-base")
     p.add_argument("--allow-random-init", action="store_true")
-    p.add_argument("--variant", default="x4",
-                   choices=["x0", "x1", "x2", "x3", "x4", "int8"])
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--variant", default="x4", choices=sorted(LADDER))
     p.add_argument("--language", default="en")
     p.add_argument("--task", default="transcribe")
     p.add_argument("--max-new-tokens", type=int, default=128)
@@ -132,8 +131,11 @@ def main(argv=None) -> int:
                         "for lossless speculative decoding of lone requests")
     p.add_argument("--draft-model-id", default="",
                    help="registry id for a random-init draft model")
-    args = p.parse_args(argv)
 
+
+def build_engine(args) -> StreamingEngine:
+    """Load params per the CLI flags and return a ready (un-warmed)
+    StreamingEngine. Shared by serve.server and serve.http_server."""
     import os
 
     from whisper_tpu.models import convert
@@ -166,12 +168,23 @@ def main(argv=None) -> int:
         os.path.join(args.model_dir, "generation_config.json")
     ) if args.model_dir else None
 
-    engine = StreamingEngine(
+    return StreamingEngine(
         session, tok[0] if tok else None,
         EngineConfig(language=args.language, task=args.task,
                      max_new_tokens=args.max_new_tokens),
         gen_cfg,
     )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    args = p.parse_args(argv)
+
+    engine = build_engine(args)
+    session = engine.session
     print(f"Compiling serving program (max_batch={session.cfg.max_batch})...")
     engine.warmup()
     print(f"Serving on {args.host}:{args.port}")
