@@ -207,3 +207,79 @@ class TestRoutes:
         with urllib.request.urlopen(server_url + "/stats", timeout=60) as r:
             stats = json.load(r)
         assert "batches" in stats and "longform" in stats
+
+    def test_streaming_sse(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"stream": "true"}, file_bytes=_wav_bytes(1.0))
+        req = urllib.request.Request(
+            server_url + "/v1/audio/transcriptions", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(
+                "text/event-stream")
+            raw = resp.read().decode()
+        events = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        assert events, raw
+        assert events[-1]["type"] == "transcript.text.done"
+        assert isinstance(events[-1]["text"], str)
+        for ev in events[:-1]:
+            assert ev["type"] == "transcript.text.delta"
+            assert isinstance(ev["delta"], str)
+
+
+class TestStreamingPlumbing:
+    def test_delta_events_flow_through_emit(self, monkeypatch):
+        """transcribe_streaming must forward every segment dict from the
+        pipeline's segment_callback to emit, then return the text."""
+        from whisper_tpu.serve import http_server
+
+        def fake_sequential(session, audio, language, task, max_new,
+                            tokenizer, gen_cfg, segment_callback=None):
+            segment_callback([{"start": 0.0, "end": 1.2, "text": "hello"}])
+            segment_callback([{"start": 1.2, "end": 2.0, "text": "world"}])
+            return "hello world", [], None
+
+        monkeypatch.setattr(http_server, "transcribe_sequential",
+                            fake_sequential)
+
+        class FakeEngine:
+            class cfg:
+                language, task, max_new_tokens = "en", "transcribe", 8
+            tokenizer = None
+            gen_cfg = None
+            session = None
+
+        svc = http_server.TranscriptionService(FakeEngine(), "m")
+        got = []
+        text = svc.transcribe_streaming(
+            np.zeros(16000, np.float32), "", "transcribe", got.append)
+        assert text == "hello world"
+        assert [g["text"] for g in got] == ["hello", "world"]
+
+
+class TestSequentialCallback:
+    def test_segment_callback_matches_segments(self, server_url):
+        # server_url fixture built the module session; reuse it via a
+        # fresh direct call on a tiny random session instead (the HTTP
+        # fixture's engine is busy serving).
+        from whisper_tpu.pipeline.sequential import transcribe_sequential
+
+        dims = get_dims("test/whisper-nano")
+        session = WhisperSession(
+            init_params(dims, seed=1), dims,
+            RuntimeCfg(dtype="float32", max_batch=2),
+        )
+        rng = np.random.default_rng(3)
+        audio = rng.normal(0, 0.1, 16000 * 2).astype(np.float32)
+        streamed = []
+        text, segments, _ = transcribe_sequential(
+            session, audio, "en", "transcribe", max_new_tokens=4,
+            segment_callback=streamed.extend,
+        )
+        assert len(streamed) == len(segments)
+        for got, seg in zip(streamed, segments):
+            assert got["start"] == seg.start_s
+            assert got["end"] == seg.end_s
+            assert isinstance(got["text"], str)

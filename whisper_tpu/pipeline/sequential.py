@@ -116,6 +116,7 @@ def transcribe_sequential(
     num_beams: int = 1,
     length_penalty: float = 1.0,
     word_collector: Optional[list] = None,
+    segment_callback=None,
 ) -> Tuple[str, List[Segment], Timing]:
     """Seek-based long-form transcription. Returns (text, segments, timing).
 
@@ -131,6 +132,10 @@ def transcribe_sequential(
 
     word_collector: pass a list to also receive word-level timestamps
     (cross-attention DTW, pipeline.words) with absolute times per window.
+
+    segment_callback: called after each decoded window with the window's
+    new segments as {"start","end","text"} dicts (text decoded eagerly) —
+    the hook behind streaming partial results (serve/http_server.py SSE).
     """
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
@@ -226,6 +231,14 @@ def transcribe_sequential(
             # not timestamps, in the conditioning window).
             for s in segs:
                 prev_tokens.extend(s.tokens)
+        if segment_callback is not None and segs:
+            segment_callback([
+                {"start": s.start_s, "end": s.end_s,
+                 "text": (tokenizer.decode(s.tokens, skip_special_tokens=True)
+                          if tokenizer is not None else
+                          f"[TOKENS:{' '.join(str(t) for t in s.tokens[:200])}]")}
+                for s in segs
+            ])
         decode_s += time.perf_counter() - td0
 
         if last_close is not None and last_close > 0:

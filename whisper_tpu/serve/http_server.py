@@ -13,6 +13,10 @@ engine (serve/engine.py) over the de-facto standard REST endpoints:
         response_format           json | text | srt | vtt | verbose_json
         temperature               accepted, echoed in verbose_json
         timestamp_granularities[] word and/or segment (verbose_json only)
+        stream                    "true": text/event-stream of
+                                  transcript.text.delta events (one per
+                                  decoded segment, sequential pipeline)
+                                  ending in transcript.text.done
   POST /v1/audio/translations     same fields, task=translate
   GET  /v1/models                 OpenAI model-list shape
   GET  /healthz                   {"status":"ok"}
@@ -57,6 +61,7 @@ from whisper_tpu.bench.subtitles import (
     format_vtt,
 )
 from whisper_tpu.pipeline.longform import transcribe_longform
+from whisper_tpu.pipeline.sequential import transcribe_sequential
 from whisper_tpu.serve.engine import StreamingEngine
 
 MAX_BODY_BYTES = 512 * 1024 * 1024  # matches the TCP server's line limit
@@ -174,6 +179,26 @@ class TranscriptionService:
                 word_collector=words if collect_words else None,
             )
         return text, words
+
+    def transcribe_streaming(self, audio: np.ndarray, language: str,
+                             task: str, emit) -> str:
+        """Run the seek-based sequential pipeline, calling ``emit(segment)``
+        with each {"start","end","text"} dict as its window decodes (the
+        SSE delta source); returns the final stitched text."""
+        cfg = self.engine.cfg
+
+        def on_segments(segs: List[dict]) -> None:
+            for s in segs:
+                emit(s)
+
+        with self._direct_lock:
+            text, _, _ = transcribe_sequential(
+                self.engine.session, audio,
+                language or cfg.language, task, cfg.max_new_tokens,
+                self.engine.tokenizer, self.engine.gen_cfg,
+                segment_callback=on_segments,
+            )
+        return text
 
     # -- response shaping ---------------------------------------------------
 
@@ -301,9 +326,12 @@ class _Handler(BaseHTTPRequestHandler):
                 raise HttpError(400, "missing 'file' form part")
             filename, data = files["file"]
             audio, duration = _decode_upload(filename, data)
-            content_type, payload = self.service.respond(
-                audio, duration, task, fields)
-            self._send(200, content_type, payload)
+            if fields.get("stream", [""])[0].strip().lower() in ("1", "true"):
+                self._stream_sse(audio, task, fields)
+            else:
+                content_type, payload = self.service.respond(
+                    audio, duration, task, fields)
+                self._send(200, content_type, payload)
         except HttpError as e:
             self._send_error_json(e.status, str(e), e.err_type)
         except BrokenPipeError:
@@ -311,6 +339,46 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # per-request isolation, like the TCP server
             self._send_error_json(500, f"{type(e).__name__}: {e}",
                                   "server_error")
+
+    def _stream_sse(self, audio, task: str, fields) -> None:
+        """Server-sent events: one transcript.text.delta per decoded
+        segment as the seek-based pipeline advances through the file, then
+        transcript.text.done with the full text (the OpenAI streaming-
+        transcription event shapes)."""
+        language = fields.get("language", [""])[0].strip()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")  # length-less body
+        self.end_headers()
+
+        sent_any = False
+
+        def write_event(obj: dict) -> None:
+            self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode("utf-8"))
+            self.wfile.flush()
+
+        def emit(seg: dict) -> None:
+            nonlocal sent_any
+            sent_any = True
+            write_event({"type": "transcript.text.delta",
+                         "delta": seg["text"],
+                         "start": round(seg["start"], 3),
+                         "end": round(seg["end"], 3)})
+
+        try:
+            text = self.service.transcribe_streaming(
+                audio, language, task, emit)
+            if not sent_any and text.strip():
+                # No timestamped segments (e.g. the model emitted
+                # no-timestamp output): still deliver the text as one delta.
+                write_event({"type": "transcript.text.delta", "delta": text})
+            write_event({"type": "transcript.text.done", "text": text})
+        except BrokenPipeError:
+            pass
+        except Exception as e:
+            write_event({"type": "error",
+                         "error": f"{type(e).__name__}: {e}"})
 
 
 def make_server(service: TranscriptionService, host: str,
