@@ -87,13 +87,17 @@ def main() -> None:
     # measured dint16 ~1.5x faster, another measured zero compression and
     # dint16 a wash) — probe THIS session's link and pick (utils/wireprobe).
     # BENCH_WIRE=int16|dint16|ulaw8|f32 overrides; default "auto" probes.
+    # "auto" races the lossless encodings; "auto-pcm" additionally races
+    # the bit-packed truncated-PCM ones (pcm14/pcm12 — 12.5%/25% fewer
+    # wire bytes on a non-compressing link; token-A/B'd identical at
+    # whisper-base dims, utils/pcmpack.py).
     wire = os.environ.get("BENCH_WIRE", "auto")
-    if wire == "auto":
+    if wire in ("auto", "auto-pcm"):
         import dataclasses
 
         from whisper_tpu.utils.wireprobe import choose_audio_transfer
 
-        mode, mbps = choose_audio_transfer(audio)
+        mode, mbps = choose_audio_transfer(audio, allow_pcm=wire == "auto-pcm")
         rates = " ".join(f"{m}={v:.0f}MB/s" for m, v in mbps.items())
         print(f"[wire-probe] {rates} -> {mode}", file=sys.stderr)
         cfg = dataclasses.replace(cfg, audio_transfer=mode)

@@ -243,3 +243,41 @@ def test_fullscale_x7_matches_x5_chain(base, audio_30s):
         )
         chains[name] = strip_generated(np.asarray(toks)[0], EOT)
     assert chains["x7"] == chains["x5"]
+
+
+@pytest.mark.slow
+def test_fullscale_pcm_transfer_chain(base, audio_30s):
+    """pcm12/pcm14 wire encodings vs the f32 upload: greedy chains at REAL
+    whisper-base dimensions must agree (the token-level quality gate for
+    the truncated-PCM uploads, utils/pcmpack.py; measured mel deviation
+    hierarchy is pinned in tests/test_frontend.py).  Random weights give
+    the TIGHTEST argmax margins, so this is the conservative version of
+    the real-weight transcript A/B."""
+    from whisper_tpu.frontend.golden import num_frames, reflect_pad
+    from whisper_tpu.frontend.mel import log_mel_jax
+    from whisper_tpu.runtime.generate import strip_generated
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.utils.pcmpack import pack_pcm
+
+    import jax.numpy as jnp
+
+    _, dims, params = base
+    sess = WhisperSession(
+        params, dims,
+        RuntimeCfg(dtype="float32", matmul_precision="highest", max_batch=1),
+    )
+    padded = reflect_pad(audio_30s)
+    nf = num_frames(len(audio_30s))
+
+    def chain(enc, transfer="auto"):
+        mel = log_mel_jax(jnp.asarray(enc), jnp.int32(nf),
+                          n_mels=80, n_frames=3000, transfer=transfer)
+        toks = sess.transcribe_chunks(
+            np.asarray(mel)[None], prompt=[SOT, EN, TRANSCRIBE, NOTS],
+            max_new_tokens=N_NEW, eot_id=EOT,
+        )
+        return strip_generated(np.asarray(toks)[0], EOT)
+
+    want = chain(padded)
+    assert chain(pack_pcm(padded, "pcm14"), "pcm14") == want
+    assert chain(pack_pcm(padded, "pcm12"), "pcm12") == want

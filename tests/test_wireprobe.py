@@ -43,3 +43,35 @@ def test_cli_audio_transfer_flag_sets_cfg():
     assert args.audio_transfer == "dint16"
     args = build_parser().parse_args([])
     assert args.audio_transfer == ""
+
+
+def test_allow_pcm_adds_candidates_and_accounts_bytes(monkeypatch):
+    from whisper_tpu.utils import wireprobe
+
+    seen = {}
+
+    def fake_rates(audio, candidates):
+        seen["candidates"] = candidates
+        # Flat link: seconds proportional to payload bytes -> pcm12 wins.
+        per = {"int16": 2.0, "dint16": 2.0, "dint16p": 2.0,
+               "pcm14": 1.75, "pcm12": 1.5}
+        return {m: per[m] for m in candidates}
+
+    monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
+    mode, mbps = wireprobe.choose_audio_transfer(
+        np.zeros(16000, np.float32), allow_pcm=True)
+    assert "pcm12" in seen["candidates"] and "pcm14" in seen["candidates"]
+    assert mode == "pcm12"            # 25% fewer bytes beats the margin
+    # MB/s accounting uses per-mode bytes: equal link speed -> equal MB/s.
+    assert abs(mbps["pcm12"] - mbps["int16"]) / mbps["int16"] < 1e-6
+
+
+def test_lossless_auto_never_picks_pcm(monkeypatch):
+    from whisper_tpu.utils import wireprobe
+
+    def fake_rates(audio, candidates):
+        return {m: 1.0 for m in candidates}
+
+    monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
+    mode, _ = wireprobe.choose_audio_transfer(np.zeros(160, np.float32))
+    assert mode == "int16"

@@ -80,11 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch", type=int, default=0)
     p.add_argument("--audio-transfer", default="",
                    choices=["", "f32", "int16", "dint16", "dint16p",
-                            "ulaw8", "auto"],
+                            "pcm12", "pcm14", "ulaw8", "auto", "auto-pcm"],
                    help="H2D audio upload encoding; 'auto' probes the "
                         "link at startup and picks int16 vs the delta "
                         "codings (tunnel compression is session-"
-                        "dependent)")
+                        "dependent); 'auto-pcm' also races the bit-packed "
+                        "truncated-PCM encodings (pcm14/pcm12: 12.5%%/25%% "
+                        "fewer wire bytes, quantization noise at/below "
+                        "the log-mel clamp floor — utils/pcmpack.py)")
     p.add_argument("--allow-random-init", action="store_true",
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
@@ -222,12 +225,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = dataclasses.replace(cfg, matmul_precision=args.matmul_precision)
     if args.max_batch > 0:
         cfg = dataclasses.replace(cfg, max_batch=args.max_batch)
-    if args.audio_transfer == "auto":
+    if args.audio_transfer in ("auto", "auto-pcm"):
         # Probe THIS session's link (tunnel compression is session-
         # dependent, docs/UPLOAD_PIPELINE.md) and pick the upload encoding.
         from whisper_tpu.utils.wireprobe import choose_audio_transfer
 
-        mode, mbps = choose_audio_transfer()
+        mode, mbps = choose_audio_transfer(
+            allow_pcm=args.audio_transfer == "auto-pcm")
         rates = " ".join(f"{m}={v:.0f}MB/s" for m, v in mbps.items())
         print(f"[wire-probe] {rates} -> {mode}", file=sys.stderr)
         cfg = dataclasses.replace(cfg, audio_transfer=mode)

@@ -76,12 +76,45 @@ def frame_signal(padded: jax.Array, n_frames: int) -> jax.Array:
 
 
 
-def decode_transfer(audio: jax.Array) -> jax.Array:
+def decode_transfer(audio: jax.Array, transfer: str = "auto") -> jax.Array:
     """Device-side decode of the wire encodings (session._encode_transfer):
     int16 PCM, uint16 delta-coded int16 PCM (per-row first differences mod
     2^16; cumsum mod 2^16 + sign-extend reconstructs the int16 EXACTLY),
-    uint8 mu-law, or float32 passthrough.  Works on [..., L] (the serving
-    batch path vmaps 1-D lanes; cumsum runs along the last axis)."""
+    uint8 mu-law, bit-packed pcm12/pcm14 truncated PCM, or float32
+    passthrough.  Works on [..., L] (the serving batch path vmaps 1-D
+    lanes; cumsum runs along the last axis).
+
+    ``transfer`` disambiguates encodings that share a dtype: "auto" keeps
+    the historical dtype dispatch; "pcm12"/"pcm14" (uint8 payloads like
+    ulaw8, but 3/2 resp. 7/4 bytes per sample pair/quad) must be named
+    explicitly by the caller (threaded as a static jit arg from
+    RuntimeCfg.audio_transfer)."""
+    if transfer == "pcm12":
+        # 12-bit linear PCM, 2 samples per 3 bytes, MSB-first:
+        # u0 = b0<<4 | b1>>4, u1 = (b1&0xF)<<8 | b2; c = u-2048.
+        # Quantization noise sits at ~-77 dB power — at the log-mel
+        # clamp floor (max-8 = -80 dB), unlike ulaw8's ~-38 dB.
+        b = audio.astype(jnp.int32) & 0xFF
+        b0, b1, b2 = b[..., 0::3], b[..., 1::3], b[..., 2::3]
+        u0 = (b0 << 4) | (b1 >> 4)
+        u1 = ((b1 & 0xF) << 8) | b2
+        c = jnp.stack([u0, u1], axis=-1).reshape(
+            *audio.shape[:-1], -1) - 2048
+        return c.astype(jnp.float32) * (1.0 / 2047.0)
+    if transfer == "pcm14":
+        # 14-bit linear PCM, 4 samples per 7 bytes, MSB-first bit string
+        # u0:14 u1:14 u2:14 u3:14; c = u-8192.  Noise ~-89 dB power:
+        # fully below the clamp floor (transparent to the mel contract).
+        b = audio.astype(jnp.int32) & 0xFF
+        b0, b1, b2, b3 = (b[..., k::7] for k in range(4))
+        b4, b5, b6 = (b[..., k::7] for k in range(4, 7))
+        u0 = (b0 << 6) | (b1 >> 2)
+        u1 = ((b1 & 0x3) << 12) | (b2 << 4) | (b3 >> 4)
+        u2 = ((b3 & 0xF) << 10) | (b4 << 2) | (b5 >> 6)
+        u3 = ((b5 & 0x3F) << 8) | b6
+        c = jnp.stack([u0, u1, u2, u3], axis=-1).reshape(
+            *audio.shape[:-1], -1) - 8192
+        return c.astype(jnp.float32) * (1.0 / 8191.0)
     if audio.dtype == jnp.int16:
         return audio.astype(jnp.float32) * (1.0 / 32767.0)
     if audio.dtype == jnp.uint16:
@@ -113,7 +146,8 @@ def decode_transfer(audio: jax.Array) -> jax.Array:
     return audio.astype(jnp.float32)
 
 
-def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
+def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int,
+                  transfer: str = "auto"):
     """Shared front-end core: framing + windowed DFT matmuls + mel
     projection + log10.  Returns log_spec [n_frames, n_mels] (fp32,
     un-clamped, un-normalized)."""
@@ -125,7 +159,7 @@ def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
     # tunnel's compressor is the throughput limiter, which is
     # session-dependent — scripts/probe_wire.py); uint8 mu-law
     # (G.711-style) quarters the payload at ~37 dB SNR.
-    padded_audio = decode_transfer(padded_audio)
+    padded_audio = decode_transfer(padded_audio, transfer)
     frames = frame_signal(padded_audio.astype(jnp.float32), n_frames)
     # Window is folded into the DFT matrices.  HIGHEST precision: the front
     # end is the root of the token-parity contract and costs ~nothing, so we
@@ -139,12 +173,13 @@ def _log_spec_raw(padded_audio: jax.Array, n_mels: int, n_frames: int):
     return jnp.log10(mel)                              # [n_frames, n_mels]
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames", "transfer"))
 def log_mel_jax(
     padded_audio: jax.Array,
     valid_frames: jax.Array,
     n_mels: int = 80,
     n_frames: int | None = None,
+    transfer: str = "auto",
 ) -> jax.Array:
     """Log-mel spectrogram [n_mels, n_frames] from reflect-padded audio.
 
@@ -158,7 +193,7 @@ def log_mel_jax(
     """
     if n_frames is None:
         raise ValueError("n_frames (static) is required")
-    log_spec = _log_spec_raw(padded_audio, n_mels, n_frames)
+    log_spec = _log_spec_raw(padded_audio, n_mels, n_frames, transfer)
     valid = (jnp.arange(n_frames) < valid_frames)[:, None]
     max_log = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
     log_spec = jnp.maximum(log_spec, max_log - 8.0)
@@ -167,12 +202,13 @@ def log_mel_jax(
     return log_spec.T                                  # [n_mels, n_frames]
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames", "transfer"))
 def log_spec_slab(
     padded_slab: jax.Array,
     valid_frames: jax.Array,
     n_mels: int = 80,
     n_frames: int | None = None,
+    transfer: str = "auto",
 ):
     """Unnormalized log-spec of one frame slab + its masked max.
 
@@ -197,7 +233,7 @@ def log_spec_slab(
     """
     if n_frames is None:
         raise ValueError("n_frames (static) is required")
-    log_spec = _log_spec_raw(padded_slab, n_mels, n_frames)
+    log_spec = _log_spec_raw(padded_slab, n_mels, n_frames, transfer)
     valid = (jnp.arange(n_frames) < valid_frames)[:, None]
     vmax = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
     return log_spec.T, vmax

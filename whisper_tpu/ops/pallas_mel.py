@@ -92,6 +92,7 @@ def log_mel_pallas(
     n_mels: int = 80,
     n_frames: int | None = None,
     interpret: bool = False,
+    transfer: str = "auto",
 ) -> jax.Array:
     """Log-mel [n_mels, n_frames] from reflect-padded audio; same signature
     and semantics as frontend.mel.log_mel_jax (invalid frames zeroed,
@@ -111,7 +112,7 @@ def log_mel_pallas(
     # Wire decode (int16 / delta-uint16 / mu-law) runs as XLA ops ahead of
     # the pallas framing — a global cumsum cannot live inside the
     # frame-blocked grid.
-    audio = decode_transfer(padded_audio)
+    audio = decode_transfer(padded_audio, transfer)
     audio = jnp.pad(audio, (0, max(0, need - audio.shape[0])))
     rows = audio[:need].reshape(nf_pad + 2, HOP)
     a0 = rows[:nf_pad]

@@ -152,6 +152,7 @@ def transcribe_longform_pipelined(
         ls, _vmax = log_spec_slab(
             jnp.asarray(enc), jnp.int32(n_valid),
             n_mels=session.dims.n_mels, n_frames=cap,
+            transfer=session._transfer_tag(),
         )
         slab_ls.append(ls)
         if i == 0:

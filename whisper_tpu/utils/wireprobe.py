@@ -68,6 +68,12 @@ def _encode(pcm: np.ndarray, mode: str) -> np.ndarray:
         z = ((di << 1) ^ (di >> 15)) & 0xFFFF
         return np.concatenate([(z >> 8).astype(np.uint8),
                                (z & 0xFF).astype(np.uint8)]).view(np.int8)
+    if mode in ("pcm12", "pcm14"):
+        # Bit-packed truncated PCM (utils/pcmpack.py): 25% / 12.5% fewer
+        # bytes on EVERY link, compressing or not.
+        from whisper_tpu.utils.pcmpack import pack_pcm
+
+        return pack_pcm(pcm, mode)
     raise ValueError(f"unknown probe encoding {mode!r}")
 
 
@@ -112,10 +118,15 @@ def probe_rates(
     return out
 
 
+_BYTES_PER_SAMPLE = {"int16": 2.0, "dint16": 2.0, "dint16p": 2.0,
+                     "pcm12": 1.5, "pcm14": 1.75}
+
+
 def choose_audio_transfer(
     audio: Optional[np.ndarray] = None,
     candidates: Tuple[str, ...] = ("int16", "dint16", "dint16p"),
     margin: float = 1.15,
+    allow_pcm: bool = False,
 ) -> Tuple[str, Dict[str, float]]:
     """Pick the fastest upload encoding for this session's link.
 
@@ -124,13 +135,23 @@ def choose_audio_transfer(
     compression win measures ~1.5x, while an uncompressing session's
     jitter on this sample size is ~10%, so 15% cleanly separates the two
     (measured: int16=22 dint16=24 dint16p=23 MB/s on a flat session).
-    Returns (mode, {mode: MB/s})."""
+
+    allow_pcm additionally races the bit-packed truncated-PCM encodings
+    (pcm14, pcm12 — 12.5% / 25% fewer wire bytes; quantization noise
+    at/below the log-mel clamp floor, token-A/B'd at whisper-base dims,
+    utils/pcmpack.py).  They are LOSSY vs the int16 source, so they must
+    be opted into; the probe compares seconds-per-file, so a compressing
+    tunnel that makes dint16p faster than the smaller pcm payload still
+    wins the race honestly.  Returns (mode, {mode: MB/s})."""
+    if allow_pcm:
+        candidates = tuple(candidates) + ("pcm14", "pcm12")
     rates = probe_rates(audio, candidates)
-    n_bytes = 2 * min(
+    n_samples = min(
         len(audio) if audio is not None else int(60.0 * 16_000),
         int(60.0 * 16_000),
     )
-    mbps = {m: n_bytes / s / 1e6 for m, s in rates.items()}
+    mbps = {m: n_samples * _BYTES_PER_SAMPLE.get(m, 2.0) / s / 1e6
+            for m, s in rates.items()}
     best = candidates[0]
     for mode in candidates[1:]:
         if rates[mode] * margin < rates[best]:
