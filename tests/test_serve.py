@@ -496,3 +496,70 @@ class TestRouterHealth:
                 assert "error" in resp
         finally:
             stop()
+
+
+class TestTrimmedUpload:
+    """Trimmed serving uploads: a tick ships only its longest utterance's
+    samples (rounded to 1/8ths of the 30 s window) and the zero tail is
+    recreated on device AFTER the wire decode — results must be identical
+    to the full-width upload for every wire encoding (zero-padding encoded
+    bytes would corrupt dint16's cumsum / pcm12's biased zero code)."""
+
+    @pytest.mark.parametrize("mode", ["int16", "dint16", "pcm12"])
+    def test_trimmed_tokens_match_full(self, mode):
+        import dataclasses
+
+        from whisper_tpu.frontend import golden
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(
+            init_params(dims, seed=0), dims,
+            RuntimeCfg(dtype="float32", max_batch=2, audio_transfer=mode),
+        )
+        pad_len = CHUNK_FRAMES * 160 + 400
+        rng = np.random.default_rng(5)
+        clips = [rng.normal(0, 0.2, 16000 * 2).astype(np.float32),
+                 rng.normal(0, 0.2, 16000).astype(np.float32)]
+
+        def run(ship_len):
+            audio = np.zeros((2, ship_len), dtype=np.float32)
+            n_valid = np.zeros(2, dtype=np.int32)
+            for i, c in enumerate(clips):
+                p = golden.reflect_pad(c)
+                audio[i, : len(p)] = p
+                n_valid[i] = golden.num_frames(len(c))
+            return np.asarray(sess.transcribe_short_batch(
+                audio, n_valid, prompt=[0], max_new_tokens=4, eot_id=1))
+
+        full = run(pad_len)
+        trimmed = run(pad_len // 8)        # 2 s clips fit the 1/8 bucket
+        np.testing.assert_array_equal(trimmed, full)
+
+    def test_engine_ships_subbucket(self, session):
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+
+        pad_len = CHUNK_FRAMES * 160 + 400
+        shapes = []
+        orig = session.transcribe_short_batch_async
+
+        def spy(audio, *a, **k):
+            shapes.append(audio.shape)
+            return orig(audio, *a, **k)
+
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=2))
+        try:
+            session.transcribe_short_batch_async = spy
+            assert eng.transcribe(_audio(1.5)) is not None
+            assert shapes and shapes[-1][1] == pad_len // 8
+            shapes.clear()
+            eng.cfg.trim_upload = False
+            assert eng.transcribe(_audio(1.5)) is not None
+            assert shapes and shapes[-1][1] == pad_len
+        finally:
+            session.transcribe_short_batch_async = orig
+            eng.close()

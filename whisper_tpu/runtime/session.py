@@ -829,16 +829,29 @@ class WhisperSession:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
             transfer_tag = self._transfer_tag()
-            from whisper_tpu.frontend.mel import log_mel_jax
+            from whisper_tpu.frontend.mel import decode_transfer, log_mel_jax
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
 
+            # Trimmed uploads (serve/engine.py): rows may be shipped
+            # shorter than the full 30 s window — the wire carries only
+            # the tick's longest utterance (rounded to a sub-bucket) and
+            # the zero tail is materialized HERE, after the wire decode
+            # (padding encoded bytes would corrupt dint16's cumsum and
+            # pcm12's biased zero code; silence must be appended as f32).
+            full = CHUNK_FRAMES * 160 + 400
+
             def run(params, sw, audio, n_valid, prompt, suppress, first_suppress):
+                audio_f32 = decode_transfer(audio, transfer_tag)
+                short = full - audio_f32.shape[-1]
+                if short > 0:
+                    audio_f32 = jnp.pad(audio_f32, ((0, 0), (0, short)))
+                elif short < 0:      # pcm pack-group tail past the window
+                    audio_f32 = audio_f32[..., :full]
                 mel = jax.vmap(
                     lambda a, v: log_mel_jax(
                         a, v, n_mels=dims.n_mels, n_frames=CHUNK_FRAMES,
-                        transfer=transfer_tag,
                     )
-                )(audio, n_valid)                    # [B, n_mels, 3000]
+                )(audio_f32, n_valid)                # [B, n_mels, 3000]
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
                                             fused_attention=fused_attn,
@@ -990,17 +1003,25 @@ class WhisperSession:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
             transfer_tag = self._transfer_tag()
-            from whisper_tpu.frontend.mel import log_mel_jax
+            from whisper_tpu.frontend.mel import decode_transfer, log_mel_jax
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
             from whisper_tpu.runtime.speculative import speculative_generate
 
+            full = CHUNK_FRAMES * 160 + 400  # trimmed uploads, as in
+                                             # _get_short_fn above
+
             def run(params, dparams, audio, n_valid, prompt, sup, first_sup):
+                audio_f32 = decode_transfer(audio, transfer_tag)
+                short = full - audio_f32.shape[-1]
+                if short > 0:
+                    audio_f32 = jnp.pad(audio_f32, ((0, 0), (0, short)))
+                elif short < 0:
+                    audio_f32 = audio_f32[..., :full]
                 mel = jax.vmap(
                     lambda a, v: log_mel_jax(
                         a, v, n_mels=dims.n_mels, n_frames=CHUNK_FRAMES,
-                        transfer=transfer_tag,
                     )
-                )(audio, n_valid)
+                )(audio_f32, n_valid)
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
                                             fused_attention=fused_attn)

@@ -51,6 +51,13 @@ class EngineConfig:
     overlap_s: float = 5.0
     batch_window_ms: float = 4.0   # coalescing window once >=1 request waits
     timestamps: bool = False
+    # Ship each tick's rows only as long as its LONGEST utterance (rounded
+    # up to 1/8ths of the 30 s window): the H2D wire is the serving
+    # bottleneck and zero padding is recreated free on device
+    # (runtime/session.py _get_short_fn).  A tick of 2 s utterances then
+    # ships ~1/8 of the bytes.  Each distinct sub-bucket compiles its own
+    # program on first use (warmup covers the full-window bucket).
+    trim_upload: bool = True
 
 
 @dataclass
@@ -242,8 +249,14 @@ class StreamingEngine:
         while bucket < n and bucket < self.session.cfg.max_batch:
             bucket <<= 1
         pad_len = self._short_limit + 2 * 200
+        if self.cfg.trim_upload:
+            step = pad_len // 8
+            need = max(len(r.audio) for r in reqs) + 2 * 200
+            ship_len = min(pad_len, -(-need // step) * step)
+        else:
+            ship_len = pad_len
 
-        audio = np.zeros((bucket, pad_len), dtype=np.float32)
+        audio = np.zeros((bucket, ship_len), dtype=np.float32)
         n_valid = np.zeros(bucket, dtype=np.int32)
         for i, r in enumerate(reqs):
             padded = golden.reflect_pad(r.audio)
