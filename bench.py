@@ -92,6 +92,7 @@ def main() -> None:
     # wire bytes on a non-compressing link; token-A/B'd identical at
     # whisper-base dims, utils/pcmpack.py).
     wire = os.environ.get("BENCH_WIRE", "auto")
+    wire_mbps = None
     if wire in ("auto", "auto-pcm"):
         import dataclasses
 
@@ -101,6 +102,7 @@ def main() -> None:
         rates = " ".join(f"{m}={v:.0f}MB/s" for m, v in mbps.items())
         print(f"[wire-probe] {rates} -> {mode}", file=sys.stderr)
         cfg = dataclasses.replace(cfg, audio_transfer=mode)
+        wire_mbps = round(mbps.get("int16", 0.0), 1)
     elif wire:
         import dataclasses
 
@@ -123,26 +125,35 @@ def main() -> None:
         return t
 
     run()  # warmup: XLA compilation + first execution
-    times = []
+    runs = []
     for _ in range(5):
         t0 = time.perf_counter()
         t = run()
-        times.append(time.perf_counter() - t0)
-        print(f"[bench] e2e {times[-1]:.3f}s (preprocess {t.preprocess_s:.3f}"
+        runs.append((time.perf_counter() - t0, t))
+        print(f"[bench] e2e {runs[-1][0]:.3f}s (preprocess {t.preprocess_s:.3f}"
               f" model {t.model_only_s:.3f} decode {t.decode_s:.3f})",
               file=sys.stderr, flush=True)
 
     # MEDIAN of 5 (round-2 judge: min-of-4 flatters the number given the
     # tunnel's 0.44–1.5 s per-file variance; the reference's headline stat
     # is p95 of its per-file e2e, compare_container_benchmarks.py:100-116).
-    e2e = sorted(times)[len(times) // 2]
+    e2e, t = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
     value = AUDIO_SECONDS / e2e
-    print(json.dumps({
+    out = {
         "metric": "whisper-base greedy long-form throughput (audio-sec/sec/chip)",
         "value": round(value, 2),
         "unit": "x_realtime",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
-    }))
+        # Context for cross-round comparison: the e2e is WIRE-bound
+        # (docs/UPLOAD_PIPELINE.md) and the tunnel's H2D bandwidth varies
+        # 12-51 MB/s between sessions — model_s is the device-side time,
+        # wire_mbps the session's measured raw link rate (int16 probe).
+        "model_s": round(t.model_only_s, 3),
+        "preprocess_s": round(t.preprocess_s, 3),
+    }
+    if wire_mbps is not None:
+        out["wire_mbps"] = wire_mbps
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
