@@ -68,6 +68,9 @@ def _probe_weights() -> None:
 
 def main() -> None:
     _probe_weights()
+    from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()  # warmup reuses prior runs' executables
     from whisper_tpu.models.convert import init_params
     from whisper_tpu.models.registry import get_dims
     from whisper_tpu.pipeline.longform import transcribe_longform

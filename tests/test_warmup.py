@@ -1,6 +1,8 @@
 """Bucket pre-warm tests: all compile shapes for a file set are built during
 warmup so no XLA compile lands in the measured loop."""
 
+import os
+
 import numpy as np
 
 from whisper_tpu.models.convert import init_params
@@ -48,3 +50,51 @@ def test_warm_buckets_compiles_all_shapes():
     before = len(sess._fns)
     transcribe_longform(sess, audio, "en", "transcribe", 2)
     assert len(sess._fns) == before  # no new compile
+
+
+class TestCompilationCache:
+    """Persistent XLA executable cache (utils/compilecache.py): fresh
+    processes must not repay the 1-5 min remote compiles."""
+
+    def test_enable_sets_config_and_creates_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+        d = str(tmp_path / "xla_cache")
+        monkeypatch.delenv("WHISPER_TPU_CACHE_DIR", raising=False)
+        assert enable_compilation_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+
+    def test_env_zero_disables(self, monkeypatch):
+        from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+        monkeypatch.setenv("WHISPER_TPU_CACHE_DIR", "0")
+        assert enable_compilation_cache() is None
+
+    def test_cache_populates_and_is_reused(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+        d = str(tmp_path / "xla_cache2")
+        enable_compilation_cache(d)
+        prev_t = jax.config.jax_persistent_cache_min_compile_time_secs
+        prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            @jax.jit
+            def f(x):
+                return (x @ x).sum() * 3.0
+
+            f(jnp.ones((128, 128))).block_until_ready()
+            assert any("cache" in n for n in os.listdir(d))
+        finally:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", prev_t)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", prev_b)
+            jax.config.update("jax_compilation_cache_dir", None)

@@ -174,6 +174,11 @@ def _build_session(args, cfg):
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
+    from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse remote-compiled executables
+                                # across runs (minutes per program)
+
     if (args.write_srt or args.write_vtt) and not (
         args.word_timestamps or args.longform_mode == "sequential"
     ):

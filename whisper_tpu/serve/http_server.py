@@ -396,6 +396,9 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
+    from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     engine = build_engine(args)
     label = args.model_dir or args.model_id
     print(f"Compiling serving program "

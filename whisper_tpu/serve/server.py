@@ -183,6 +183,9 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8765)
     args = p.parse_args(argv)
 
+    from whisper_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     engine = build_engine(args)
     session = engine.session
     print(f"Compiling serving program (max_batch={session.cfg.max_batch})...")
