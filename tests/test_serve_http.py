@@ -229,6 +229,45 @@ class TestRoutes:
             assert isinstance(ev["delta"], str)
 
 
+class TestPromptField:
+    def test_prompt_without_tokenizer_400(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"prompt": "technical jargon"},
+            file_bytes=_wav_bytes(0.5))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url + "/v1/audio/transcriptions", body, ctype)
+        assert exc.value.code == 400
+        assert "tokenizer" in json.load(exc.value)["error"]["message"]
+
+    def test_prompt_ids_reach_direct_lane(self, monkeypatch):
+        from whisper_tpu.serve import http_server
+
+        captured = {}
+
+        def fake_longform(session, audio, language, task, *a, **k):
+            captured["prompt_ids"] = k.get("initial_prompt_ids")
+            return "ok", None
+
+        monkeypatch.setattr(http_server, "transcribe_longform",
+                            fake_longform)
+
+        class FakeEngine:
+            class cfg:
+                language, task, max_new_tokens = "en", "transcribe", 8
+                chunk_length_s, overlap_s = 30.0, 5.0
+            tokenizer = None
+            gen_cfg = None
+            session = None
+
+        svc = http_server.TranscriptionService(FakeEngine(), "m")
+        monkeypatch.setattr(svc, "prompt_ids", lambda s: [7, 8] if s else None)
+        text = svc.transcribe_text(
+            np.zeros(16000, np.float32), "", "transcribe",
+            svc.prompt_ids("hint"))
+        assert text == "ok"
+        assert captured["prompt_ids"] == [7, 8]
+
+
 class TestStreamingPlumbing:
     def test_delta_events_flow_through_emit(self, monkeypatch):
         """transcribe_streaming must forward every segment dict from the
@@ -236,7 +275,8 @@ class TestStreamingPlumbing:
         from whisper_tpu.serve import http_server
 
         def fake_sequential(session, audio, language, task, max_new,
-                            tokenizer, gen_cfg, segment_callback=None):
+                            tokenizer, gen_cfg, segment_callback=None,
+                            **kwargs):
             segment_callback([{"start": 0.0, "end": 1.2, "text": "hello"}])
             segment_callback([{"start": 1.2, "end": 2.0, "text": "world"}])
             return "hello world", [], None

@@ -10,6 +10,8 @@ engine (serve/engine.py) over the de-facto standard REST endpoints:
                                   when the native FFmpeg decoder is built)
         model                     echoed back (the server's model is fixed)
         language                  ISO-639-1 or "auto" (default: server's)
+        prompt                    conditioning text (<|startofprev|>
+                                  prefix semantics; needs tokenizer.json)
         response_format           json | text | srt | vtt | verbose_json
         temperature               accepted, echoed in verbose_json
         timestamp_granularities[] word and/or segment (verbose_json only)
@@ -142,9 +144,14 @@ class TranscriptionService:
     (with word timestamps) for timing formats and per-request overrides.
     """
 
-    def __init__(self, engine: StreamingEngine, model_label: str):
+    def __init__(self, engine: StreamingEngine, model_label: str,
+                 tokenizer_json: str = ""):
         self.engine = engine
         self.model_label = model_label
+        # Path to tokenizer.json for ENCODING the OpenAI `prompt` field
+        # (decoding is dependency-free, tokenizer/bpe.py; encoding
+        # delegates to the tokenizers library via encode_text).
+        self.tokenizer_json = tokenizer_json
         # Direct pipeline calls bypass the engine's worker serialization,
         # so serialize them here (JAX dispatch is thread-safe, but the
         # session's bucket-compile cache is warmest single-file).
@@ -152,23 +159,37 @@ class TranscriptionService:
 
     # -- core paths ---------------------------------------------------------
 
+    def prompt_ids(self, prompt_text: str) -> Optional[List[int]]:
+        """Encode the OpenAI `prompt` field to conditioning token ids
+        (<|startofprev|> prefix semantics, pipeline/longform.py)."""
+        if not prompt_text:
+            return None
+        if not self.tokenizer_json:
+            raise HttpError(
+                400, "prompt conditioning needs a tokenizer.json "
+                     "(serve with --model-dir containing one)")
+        from whisper_tpu.tokenizer.bpe import encode_text
+
+        return encode_text(self.tokenizer_json, prompt_text)
+
     def transcribe_text(self, audio: np.ndarray, language: str,
-                        task: str) -> str:
+                        task: str, prompt_ids=None) -> str:
         cfg = self.engine.cfg
-        if task == cfg.task and language in ("", cfg.language):
+        if (task == cfg.task and language in ("", cfg.language)
+                and prompt_ids is None):
             return self.engine.transcribe(audio)
         text, _ = self._direct(audio, language or cfg.language, task,
-                               collect_words=False)
+                               collect_words=False, prompt_ids=prompt_ids)
         return text
 
     def transcribe_verbose(self, audio: np.ndarray, language: str,
-                           task: str) -> Tuple[str, List[dict]]:
+                           task: str, prompt_ids=None) -> Tuple[str, List[dict]]:
         """Returns (text, words) where words are {word,start,end} dicts in
         absolute file time (cross-attention DTW, pipeline/words.py)."""
         return self._direct(audio, language or self.engine.cfg.language,
-                            task, collect_words=True)
+                            task, collect_words=True, prompt_ids=prompt_ids)
 
-    def _direct(self, audio, language, task, collect_words):
+    def _direct(self, audio, language, task, collect_words, prompt_ids=None):
         cfg = self.engine.cfg
         words: List[dict] = []
         with self._direct_lock:
@@ -177,11 +198,12 @@ class TranscriptionService:
                 cfg.max_new_tokens, cfg.chunk_length_s, cfg.overlap_s,
                 self.engine.tokenizer, False, self.engine.gen_cfg,
                 word_collector=words if collect_words else None,
+                initial_prompt_ids=prompt_ids,
             )
         return text, words
 
     def transcribe_streaming(self, audio: np.ndarray, language: str,
-                             task: str, emit) -> str:
+                             task: str, emit, prompt_ids=None) -> str:
         """Run the seek-based sequential pipeline, calling ``emit(segment)``
         with each {"start","end","text"} dict as its window decodes (the
         SSE delta source); returns the final stitched text."""
@@ -196,6 +218,7 @@ class TranscriptionService:
                 self.engine.session, audio,
                 language or cfg.language, task, cfg.max_new_tokens,
                 self.engine.tokenizer, self.engine.gen_cfg,
+                initial_prompt_ids=prompt_ids,
                 segment_callback=on_segments,
             )
         return text
@@ -213,14 +236,16 @@ class TranscriptionService:
         if fmt not in RESPONSE_FORMATS:
             raise HttpError(
                 400, f"response_format must be one of {RESPONSE_FORMATS}")
+        prompt_ids = self.prompt_ids(field("prompt"))
 
         if fmt in ("json", "text"):
-            text = self.transcribe_text(audio, language, task)
+            text = self.transcribe_text(audio, language, task, prompt_ids)
             if fmt == "text":
                 return "text/plain; charset=utf-8", text + "\n"
             return "application/json", json.dumps({"text": text})
 
-        text, words = self.transcribe_verbose(audio, language, task)
+        text, words = self.transcribe_verbose(audio, language, task,
+                                              prompt_ids)
         cues = cues_from_words(words)
         if not cues and text.strip():
             # No word timings (e.g. tokenizer-less [TOKENS:...] output):
@@ -346,6 +371,8 @@ class _Handler(BaseHTTPRequestHandler):
         transcript.text.done with the full text (the OpenAI streaming-
         transcription event shapes)."""
         language = fields.get("language", [""])[0].strip()
+        prompt_ids = self.service.prompt_ids(
+            fields.get("prompt", [""])[0].strip())
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -368,7 +395,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         try:
             text = self.service.transcribe_streaming(
-                audio, language, task, emit)
+                audio, language, task, emit, prompt_ids)
             if not sent_any and text.strip():
                 # No timestamped segments (e.g. the model emitted
                 # no-timestamp output): still deliver the text as one delta.
@@ -401,11 +428,15 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     engine = build_engine(args)
     label = args.model_dir or args.model_id
+    from whisper_tpu.tokenizer.specials import resolve_tokenizer
+
+    tok = resolve_tokenizer("", args.model_dir, args.model_id)
+    service = TranscriptionService(
+        engine, label, tokenizer_json=str(tok[1]) if tok else "")
     print(f"Compiling serving program "
           f"(max_batch={engine.session.cfg.max_batch})...")
     engine.warmup()
-    httpd = make_server(TranscriptionService(engine, label),
-                        args.host, args.port)
+    httpd = make_server(service, args.host, args.port)
     print(f"Serving OpenAI-compatible API on http://{args.host}:{args.port}")
     try:
         httpd.serve_forever()
