@@ -421,6 +421,33 @@ class TestPackedPcmTransfer:
         assert d14.mean() < 5e-4 and d14.max() < 0.06, (d14.mean(), d14.max())
         assert d12.mean() < 2e-3 and d12.max() < 0.15, (d12.mean(), d12.max())
 
+    def test_streamed_pcm12_bitwise_equals_single_shot(self):
+        """Slab-wise pcm12 packing must equal the one-shot pcm12 upload
+        bitwise: slab lengths are even so the 2-sample pack groups align
+        with slab boundaries (same invariant as the int16 streamed path)."""
+        from whisper_tpu.frontend.golden import num_frames, reflect_pad
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import get_dims
+        from whisper_tpu.pipeline.chunk import mel_frame_bucket
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        session = WhisperSession(
+            init_params(dims, seed=0), dims,
+            RuntimeCfg(streamed_mel=True, mel_slab_frames=3000,
+                       audio_transfer="pcm12"),
+        )
+        rng = np.random.default_rng(7)
+        audio = (0.3 * np.sin(np.arange(int(75.3 * 16000)) / 15.0)
+                 + 0.03 * rng.standard_normal(int(75.3 * 16000))
+                 ).astype(np.float32)
+        padded = reflect_pad(audio)
+        nv = num_frames(len(audio))
+        bucket = mel_frame_bucket(nv)
+        got = np.asarray(session.compute_mel_streamed(padded, nv, bucket))
+        want = np.asarray(session._compute_mel_single(padded, nv, bucket))
+        np.testing.assert_array_equal(got, want)
+
     def test_nano_tokens_match_int16(self):
         """Greedy chains through a full random-weight session must agree
         between int16 and pcm12/pcm14 uploads (the token-level gate; the
