@@ -174,6 +174,21 @@ class TestRoutes:
         assert status == 200
         assert "text" in json.loads(payload)
 
+    def test_temperature_sampling_path(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"temperature": "0.7"}, file_bytes=_wav_bytes(1.0))
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        assert isinstance(json.loads(payload)["text"], str)
+
+    def test_bad_temperature_400(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"temperature": "warm"}, file_bytes=_wav_bytes(0.5))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url + "/v1/audio/transcriptions", body, ctype)
+        assert exc.value.code == 400
+
     def test_missing_file_400(self, server_url):
         body, ctype = _multipart_body(fields={"model": "whisper-1"})
         with pytest.raises(urllib.error.HTTPError) as exc:

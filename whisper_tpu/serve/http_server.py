@@ -13,7 +13,10 @@ engine (serve/engine.py) over the de-facto standard REST endpoints:
         prompt                    conditioning text (<|startofprev|>
                                   prefix semantics; needs tokenizer.json)
         response_format           json | text | srt | vtt | verbose_json
-        temperature               accepted, echoed in verbose_json
+        temperature               0 = greedy; >0 samples at that
+                                  temperature (fallback ladder pinned to
+                                  one rung, pipeline/fallback.py);
+                                  echoed in verbose_json
         timestamp_granularities[] word and/or segment (verbose_json only)
         stream                    "true": text/event-stream of
                                   transcript.text.delta events (one per
@@ -237,9 +240,39 @@ class TranscriptionService:
             raise HttpError(
                 400, f"response_format must be one of {RESPONSE_FORMATS}")
         prompt_ids = self.prompt_ids(field("prompt"))
+        try:
+            temperature = float(field("temperature") or 0.0)
+        except ValueError:
+            raise HttpError(400, "temperature must be a number")
 
         if fmt in ("json", "text"):
-            text = self.transcribe_text(audio, language, task, prompt_ids)
+            if temperature > 0.0:
+                # OpenAI semantics: temperature>0 samples.  Routed through
+                # the fallback ladder pinned to a single rung
+                # (pipeline/fallback.py), serialized like the other
+                # direct-lane work.
+                if prompt_ids is not None:
+                    raise HttpError(
+                        400, "prompt is not supported together with "
+                             "temperature sampling")
+                from whisper_tpu.pipeline.fallback import (
+                    transcribe_longform_fallback,
+                )
+
+                cfg = self.engine.cfg
+                lang = (language if language not in ("", "auto")
+                        else cfg.language)
+                with self._direct_lock:
+                    text, _, _ = transcribe_longform_fallback(
+                        self.engine.session, audio,
+                        lang, task, cfg.max_new_tokens,
+                        cfg.chunk_length_s, cfg.overlap_s,
+                        self.engine.tokenizer, self.engine.gen_cfg,
+                        temperatures=(temperature,),
+                    )
+            else:
+                text = self.transcribe_text(audio, language, task,
+                                            prompt_ids)
             if fmt == "text":
                 return "text/plain; charset=utf-8", text + "\n"
             return "application/json", json.dumps({"text": text})
