@@ -188,3 +188,22 @@ class TestParity:
         ref.write_text(json.dumps(self._rows(["a"], [1.0])))
         tpu.write_text(json.dumps(self._rows(["a "], [0.5])))  # strip-equal
         assert print_parity(str(ref), str(tpu)) == 0
+
+
+def test_rounds_summary_runs(tmp_path, capsys):
+    """results/rounds.py: round table with wire-context columns."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, ".")
+    from results.rounds import main as rounds_main
+
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(
+        {"value": 632.98, "vs_baseline": 15.1}))
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps(
+        {"value": 333.79, "vs_baseline": 8.0, "model_s": 0.109,
+         "preprocess_s": 0.754, "wire_mbps": 12.4}))
+    assert rounds_main([str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "r01" in out and "r03" in out
+    assert "12" in out and "-" in out          # missing fields dashed
