@@ -74,27 +74,27 @@ class TestCompilationCache:
         assert enable_compilation_cache() is None
 
     def test_cache_populates_and_is_reused(self, tmp_path):
-        import jax
-        import jax.numpy as jnp
-
-        from whisper_tpu.utils.compilecache import enable_compilation_cache
+        """Subprocess-isolated: JAX initializes the persistent cache once
+        per process, so an in-process dir change after another test has
+        compiled would be silently ignored."""
+        import subprocess
+        import sys
 
         d = str(tmp_path / "xla_cache2")
-        enable_compilation_cache(d)
-        prev_t = jax.config.jax_persistent_cache_min_compile_time_secs
-        prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        try:
-            @jax.jit
-            def f(x):
-                return (x @ x).sum() * 3.0
-
-            f(jnp.ones((128, 128))).block_until_ready()
-            assert any("cache" in n for n in os.listdir(d))
-        finally:
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", prev_t)
-            jax.config.update(
-                "jax_persistent_cache_min_entry_size_bytes", prev_b)
-            jax.config.update("jax_compilation_cache_dir", None)
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from whisper_tpu.utils.compilecache import"
+            " enable_compilation_cache\n"
+            f"enable_compilation_cache({d!r})\n"
+            "jax.config.update("
+            "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+            "jax.config.update("
+            "'jax_persistent_cache_min_entry_size_bytes', 0)\n"
+            "import jax.numpy as jnp\n"
+            "f = jax.jit(lambda x: (x @ x).sum() * 3.0)\n"
+            "f(jnp.ones((128, 128))).block_until_ready()\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=300, env={**os.environ,
+                                         "JAX_PLATFORMS": "cpu"})
+        assert any("cache" in n for n in os.listdir(d))

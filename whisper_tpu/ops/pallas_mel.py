@@ -85,7 +85,9 @@ def _mel_kernel(a0_ref, a1_ref, a2_ref, cos_ref, sin_ref, fb_ref, out_ref):
     out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_mels", "n_frames", "interpret",
+                                    "transfer"))
 def log_mel_pallas(
     padded_audio: jax.Array,
     valid_frames: jax.Array,
