@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit word-level timestamps (cross-attention DTW "
                         "alignment) in the per-file JSON rows; chunked/"
                         "pipelined/sequential long-form modes")
+    p.add_argument("--vad-filter", action="store_true",
+                   help="cut silence before transcription (energy VAD, "
+                        "audio/vad.py — the faster-whisper SUT's "
+                        "vad_filter surface); word timestamps are mapped "
+                        "back to original time; chunked long-form mode")
+    p.add_argument("--vad-threshold-db", type=float, default=9.0,
+                   help="VAD: speech is frames above the noise floor by "
+                        "this many dB (floor = 15th percentile energy)")
     p.add_argument("--initial-prompt", default="",
                    help="free-text prompt to condition decoding on "
                         "(<|startofprev|> prefix; HF prompt_ids semantics "
@@ -178,6 +186,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_compilation_cache()  # reuse remote-compiled executables
                                 # across runs (minutes per program)
+
+    if args.vad_filter and args.longform_mode != "chunked":
+        raise SystemExit("--vad-filter is supported in chunked long-form "
+                         "mode (timestamps from other modes would be in "
+                         "condensed time)")
 
     if (args.write_srt or args.write_vtt) and not (
         args.word_timestamps or args.longform_mode == "sequential"
@@ -374,17 +387,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     def _load(fnm, with_mel=False):
         """Load + resample; with_mel additionally uploads the audio and
         computes the device mel — overlapping the previous file's decode
-        when called from the prefetch thread."""
+        when called from the prefetch thread.  With --vad-filter the
+        audio is condensed to its speech spans HERE (so the prefetch
+        thread also pays the VAD) and the SpeechMap rides along for
+        timestamp restoration; dur stays the ORIGINAL duration
+        (faster-whisper's RTF accounting)."""
         audio, sr, dur = load_audio_16k_mono(os.path.join(args.audio_dir, fnm))
+        smap = None
+        if args.vad_filter:
+            from whisper_tpu.audio.vad import (
+                VadOptions,
+                collect_chunks,
+                detect_speech,
+            )
+
+            spans = detect_speech(
+                audio, VadOptions(threshold_db=args.vad_threshold_db))
+            audio, smap = collect_chunks(audio, spans)
         pre_mel = None
-        if with_mel and args.longform_mode == "chunked":
+        if with_mel and args.longform_mode == "chunked" and len(audio):
             from whisper_tpu.frontend import golden as _g
             from whisper_tpu.pipeline.chunk import mel_frame_bucket as _mfb
 
             padded = _g.reflect_pad(audio)
             total = _g.num_frames(len(audio))
             pre_mel = (session.compute_mel(padded, total, _mfb(total)), total)
-        return audio, sr, dur, pre_mel
+        return audio, sr, dur, pre_mel, smap
 
     if executor is not None:
         next_future = executor.submit(_load, files[0], True)
@@ -399,9 +427,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     for idx, fnm in enumerate(files):
         tl0 = time.perf_counter()
         if executor is not None:
-            audio, sr, dur, pre_mel = next_future.result()
+            audio, sr, dur, pre_mel, smap = next_future.result()
         else:
-            audio, sr, dur, pre_mel = _load(fnm)
+            audio, sr, dur, pre_mel, smap = _load(fnm)
         load_s = time.perf_counter() - tl0
         assert sr == 16_000
         if executor is not None and idx + 1 < len(files):
@@ -409,6 +437,23 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         words = None
         segments = None
+        if args.vad_filter and len(audio) == 0:
+            # All silence: nothing to transcribe (faster-whisper emits no
+            # segments either).
+            from whisper_tpu.utils.timing import Timing as _Timing
+
+            text, t = "", _Timing(0.0, 0.0, 0.0, 0.0)
+            e2e = load_s
+            rows.append(RowOut.make(fnm, dur, e2e, e2e / max(dur, 1e-9),
+                                    text, words=[] if args.word_timestamps
+                                    else None))
+            load_l.append(load_s)
+            pre_l.append(0.0)
+            model_l.append(0.0)
+            dec_l.append(0.0)
+            end2end.append(e2e)
+            rtf_l.append(e2e / max(dur, 1e-9))
+            continue
         if args.longform_mode == "pipelined":
             from whisper_tpu.pipeline.pipelined import (
                 transcribe_longform_pipelined,
@@ -457,6 +502,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 word_collector=words,
                 initial_prompt_ids=initial_prompt_ids,
             )
+
+        if smap is not None and words:
+            # Map condensed-signal times back to original file time
+            # (faster-whisper's restore_speech_timestamps).
+            for w in words:
+                w["start"] = round(smap.restore_time(w["start"]), 3)
+                w["end"] = round(smap.restore_time(w["end"]), 3)
 
         e2e = load_s + t.end_to_end_s
         rtf = e2e / max(dur, 1e-9)
