@@ -189,6 +189,40 @@ class TestRoutes:
             _post(server_url + "/v1/audio/transcriptions", body, ctype)
         assert exc.value.code == 400
 
+    def test_vad_filter_silence_yields_empty(self, server_url):
+        silent = np.zeros(int(1.5 * 16000), np.float32)
+        pcm = np.clip(silent * 32768., -32768, 32767).astype("<i2").tobytes()
+        hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
+                          b"WAVE", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16,
+                          b"data", len(pcm))
+        body, ctype = _multipart_body(
+            fields={"vad_filter": "true",
+                    "response_format": "verbose_json"},
+            file_bytes=hdr + pcm)
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        out = json.loads(payload)
+        assert out["text"] == "" and out["segments"] == []
+        assert out["duration"] == pytest.approx(1.5, abs=0.01)
+
+    def test_vad_filter_speech_transcribes(self, server_url):
+        t = np.arange(int(1.0 * 16000)) / 16000
+        burst = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        audio = np.concatenate(
+            [np.zeros(16000, np.float32), burst,
+             np.zeros(16000, np.float32)])
+        pcm = np.clip(audio * 32768., -32768, 32767).astype("<i2").tobytes()
+        hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
+                          b"WAVE", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16,
+                          b"data", len(pcm))
+        body, ctype = _multipart_body(
+            fields={"vad_filter": "true"}, file_bytes=hdr + pcm)
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        assert isinstance(json.loads(payload)["text"], str)
+
     def test_missing_file_400(self, server_url):
         body, ctype = _multipart_body(fields={"model": "whisper-1"})
         with pytest.raises(urllib.error.HTTPError) as exc:

@@ -18,6 +18,9 @@ engine (serve/engine.py) over the de-facto standard REST endpoints:
                                   one rung, pipeline/fallback.py);
                                   echoed in verbose_json
         timestamp_granularities[] word and/or segment (verbose_json only)
+        vad_filter                "true": cut silence before decoding
+                                  (energy VAD, audio/vad.py); times are
+                                  restored to original file time
         stream                    "true": text/event-stream of
                                   transcript.text.delta events (one per
                                   decoded segment, sequential pipeline)
@@ -240,6 +243,29 @@ class TranscriptionService:
             raise HttpError(
                 400, f"response_format must be one of {RESPONSE_FORMATS}")
         prompt_ids = self.prompt_ids(field("prompt"))
+
+        smap = None
+        if field("vad_filter").lower() in ("1", "true"):
+            # faster-whisper's vad_filter surface: cut silence before
+            # transcription; word/segment times are restored to original
+            # file time below (audio/vad.py).
+            from whisper_tpu.audio.vad import collect_chunks, detect_speech
+
+            audio, smap = collect_chunks(audio, detect_speech(audio))
+            if audio.size == 0:
+                if fmt == "text":
+                    return "text/plain; charset=utf-8", "\n"
+                if fmt in ("srt", "vtt"):
+                    empty = format_srt([]) if fmt == "srt" else format_vtt([])
+                    ct = ("text/vtt" if fmt == "vtt"
+                          else "text/plain") + "; charset=utf-8"
+                    return ct, empty
+                out = {"text": ""}
+                if fmt == "verbose_json":
+                    out.update(task=task, language=language
+                               or self.engine.cfg.language,
+                               duration=round(duration, 3), segments=[])
+                return "application/json", json.dumps(out)
         try:
             temperature = float(field("temperature") or 0.0)
         except ValueError:
@@ -279,6 +305,10 @@ class TranscriptionService:
 
         text, words = self.transcribe_verbose(audio, language, task,
                                               prompt_ids)
+        if smap is not None:
+            for w in words:
+                w["start"] = smap.restore_time(w["start"])
+                w["end"] = smap.restore_time(w["end"])
         cues = cues_from_words(words)
         if not cues and text.strip():
             # No word timings (e.g. tokenizer-less [TOKENS:...] output):
