@@ -58,6 +58,15 @@ class TestDetect:
     def test_all_silence_yields_no_spans(self):
         assert detect_speech(_silence(3.0)) == []
 
+    def test_continuous_speech_passes_through(self):
+        """No silence anywhere: a relative-energy detector cannot segment
+        it — the whole signal must survive, never be dropped."""
+        audio = _tone(4.0)
+        assert detect_speech(audio) == [(0, len(audio))]
+
+    def test_quiet_continuous_noise_still_dropped(self):
+        assert detect_speech(_silence(4.0, noise=3e-5)) == []
+
     def test_empty_audio(self):
         assert detect_speech(np.zeros(0, np.float32)) == []
 

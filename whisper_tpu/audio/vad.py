@@ -38,6 +38,8 @@ class VadOptions:
     min_silence_duration_ms: int = 2000
     speech_pad_ms: int = 400
     release_db: float = 6.0          # hysteresis: stay-in-speech margin
+    min_speech_db: float = -55.0     # no-silence guard: bulk energy above
+                                     # this = all-speech, pass through
 
 
 def _frame_energy_db(audio: np.ndarray) -> np.ndarray:
@@ -68,6 +70,15 @@ def detect_speech(
         return [(0, len(audio))] if len(audio) else []
 
     floor = float(np.percentile(e, 15.0))
+    loud = float(np.percentile(e, 85.0))
+    # No-silence guard: when the signal has no quiet tail to anchor the
+    # floor (loud-floor spread under the threshold) and its bulk energy
+    # is clearly above digital silence, treat the WHOLE signal as speech
+    # rather than dropping everything — a relative-energy detector
+    # cannot segment continuous speech/music, only pass it through.
+    if loud - floor < opts.threshold_db and loud > opts.min_speech_db:
+        return [(0, len(audio))]
+
     attack = floor + opts.threshold_db
     release = floor + opts.release_db
 
