@@ -182,6 +182,39 @@ class TestRoutes:
         assert status == 200
         assert isinstance(json.loads(payload)["text"], str)
 
+    def test_temperature_with_timing_format_400(self, server_url):
+        body, ctype = _multipart_body(
+            fields={"temperature": "0.5", "response_format": "verbose_json"},
+            file_bytes=_wav_bytes(0.5))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server_url + "/v1/audio/transcriptions", body, ctype)
+        assert exc.value.code == 400
+
+    def test_error_response_closes_connection(self, server_url):
+        """Unconsumed request bodies on error paths must not desync a
+        kept-alive connection — the server closes it instead."""
+        import socket as _socket
+        from urllib.parse import urlparse
+
+        u = urlparse(server_url)
+        body, ctype = _multipart_body(file_bytes=_wav_bytes(0.2))
+        req = (f"POST /nope HTTP/1.1\r\nHost: {u.hostname}\r\n"
+               f"Content-Type: {ctype}\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        with _socket.create_connection((u.hostname, u.port),
+                                       timeout=30) as s:
+            s.sendall(req)
+            s.settimeout(30)
+            data = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break           # server closed after the error reply
+                data = data + chunk
+        assert data.startswith(b"HTTP/1.1 404")
+        assert data.count(b"HTTP/1.1") == 1   # exactly one response, no
+                                              # garbage parse of the body
+
     def test_bad_temperature_400(self, server_url):
         body, ctype = _multipart_body(
             fields={"temperature": "warm"}, file_bytes=_wav_bytes(0.5))
@@ -197,13 +230,15 @@ class TestRoutes:
                           b"data", len(pcm))
         body, ctype = _multipart_body(
             fields={"vad_filter": "true",
-                    "response_format": "verbose_json"},
+                    "response_format": "verbose_json",
+                    "timestamp_granularities[]": "word"},
             file_bytes=hdr + pcm)
         status, _, payload = _post(
             server_url + "/v1/audio/transcriptions", body, ctype)
         assert status == 200
         out = json.loads(payload)
         assert out["text"] == "" and out["segments"] == []
+        assert out["words"] == []      # same envelope as non-empty runs
         assert out["duration"] == pytest.approx(1.5, abs=0.01)
 
     def test_vad_filter_speech_transcribes(self, server_url):

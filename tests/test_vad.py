@@ -127,12 +127,18 @@ class TestCliVad:
             "--max-new-tokens", "4",
             "--warmup", "0",
             "--vad-filter", "--word-timestamps",
+            "--write-txt", "--write-srt",
             "--out-csv", str(out / "c.csv"),
             "--out-json", str(out / "j.json"),
             "--out-summary-json", str(out / "s.json"),
             "--dtype", "float32",
         ])
         assert rc == 0
+        # Every input gets its output files — the all-silence one too
+        # (empty), so downstream per-file tooling never misses a file.
+        assert (out / "quiet.transcript.txt").exists()
+        assert (out / "quiet.srt").exists()
+        assert (out / "quiet.transcript.txt").read_text().strip() == ""
         with open(out / "c.csv") as f:
             rows = {r["file"]: r for r in csv.DictReader(f)}
         # Original durations are reported (RTF accounting).

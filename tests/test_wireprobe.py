@@ -60,7 +60,10 @@ def test_allow_pcm_adds_candidates_and_accounts_bytes(monkeypatch):
     monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
     mode, mbps = wireprobe.choose_audio_transfer(
         np.zeros(16000, np.float32), allow_pcm=True)
-    assert "pcm12" in seen["candidates"] and "pcm14" in seen["candidates"]
+    assert "pcm12" in seen["candidates"]
+    # pcm14 is deliberately NOT raced: 12.5% < the 15% margin, it could
+    # never win (explicit --audio-transfer pcm14 remains available).
+    assert "pcm14" not in seen["candidates"]
     assert mode == "pcm12"            # 25% fewer bytes beats the margin
     # MB/s accounting uses per-mode bytes: equal link speed -> equal MB/s.
     assert abs(mbps["pcm12"] - mbps["int16"]) / mbps["int16"] < 1e-6

@@ -84,10 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="H2D audio upload encoding; 'auto' probes the "
                         "link at startup and picks int16 vs the delta "
                         "codings (tunnel compression is session-"
-                        "dependent); 'auto-pcm' also races the bit-packed "
-                        "truncated-PCM encodings (pcm14/pcm12: 12.5%%/25%% "
-                        "fewer wire bytes, quantization noise at/below "
-                        "the log-mel clamp floor — utils/pcmpack.py)")
+                        "dependent); 'auto-pcm' also races pcm12 "
+                        "(bit-packed truncated PCM: 25%% fewer wire "
+                        "bytes, quantization noise near the log-mel "
+                        "clamp floor — utils/pcmpack.py; pcm14 is "
+                        "explicit-only, its 12.5%% can't clear the probe "
+                        "margin)")
     p.add_argument("--allow-random-init", action="store_true",
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
@@ -439,22 +441,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         segments = None
         if args.vad_filter and len(audio) == 0:
             # All silence: nothing to transcribe (faster-whisper emits no
-            # segments either).
+            # segments either).  Falls through to the normal row/transcript
+            # writers so every input still gets its output files (empty).
             from whisper_tpu.utils.timing import Timing as _Timing
 
+            words = [] if args.word_timestamps else None
             text, t = "", _Timing(0.0, 0.0, 0.0, 0.0)
-            e2e = load_s
-            rows.append(RowOut.make(fnm, dur, e2e, e2e / max(dur, 1e-9),
-                                    text, words=[] if args.word_timestamps
-                                    else None))
-            load_l.append(load_s)
-            pre_l.append(0.0)
-            model_l.append(0.0)
-            dec_l.append(0.0)
-            end2end.append(e2e)
-            rtf_l.append(e2e / max(dur, 1e-9))
-            continue
-        if args.longform_mode == "pipelined":
+        elif args.longform_mode == "pipelined":
             from whisper_tpu.pipeline.pipelined import (
                 transcribe_longform_pipelined,
             )

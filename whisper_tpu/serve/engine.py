@@ -52,11 +52,11 @@ class EngineConfig:
     batch_window_ms: float = 4.0   # coalescing window once >=1 request waits
     timestamps: bool = False
     # Ship each tick's rows only as long as its LONGEST utterance (rounded
-    # up to 1/8ths of the 30 s window): the H2D wire is the serving
-    # bottleneck and zero padding is recreated free on device
+    # up to {1/8, 1/4, 1/2, 1} of the 30 s window): the H2D wire is the
+    # serving bottleneck and zero padding is recreated free on device
     # (runtime/session.py _get_short_fn).  A tick of 2 s utterances then
-    # ships ~1/8 of the bytes.  Each distinct sub-bucket compiles its own
-    # program on first use (warmup covers the full-window bucket).
+    # ships ~1/8 of the bytes.  warmup() compiles the 1/8 and full-window
+    # programs; the middle lengths compile lazily on first use.
     trim_upload: bool = True
 
 
@@ -120,10 +120,27 @@ class StreamingEngine:
     def transcribe(self, audio_16k: np.ndarray, timeout: float = 300.0) -> str:
         return self.submit(audio_16k).result(timeout=timeout)
 
+    def _ship_len(self, need: int) -> int:
+        """Quantize a tick's sample need to {1/8, 1/4, 1/2, 1} of the full
+        30 s window — few enough sub-buckets that warmup can cover the
+        common ones, big enough steps that most of the padding still
+        stays off the wire."""
+        pad_len = self._short_limit + 2 * 200
+        for frac in (8, 4, 2):
+            if need <= pad_len // frac:
+                return pad_len // frac
+        return pad_len
+
     def warmup(self, batch: int = 0) -> None:
         """Compile the short-batch program for the given bucket, or for
         every power-of-two bucket up to max_batch (a lone request hits
-        bucket 1, a burst hits the bigger ones)."""
+        bucket 1, a burst hits the bigger ones).
+
+        With trim_upload the live ticks ship sub-bucket lengths; the
+        smallest (1/8 window — the short-utterance streaming case) is
+        warmed alongside the full window so the first real request does
+        not pay a 1-5 min remote compile.  The middle lengths (1/4, 1/2)
+        compile lazily on first use."""
         if batch:
             buckets = [batch]
         else:
@@ -131,26 +148,31 @@ class StreamingEngine:
             while b <= self.session.cfg.max_batch:
                 buckets.append(b)
                 b <<= 1
+        pad_len = self._short_limit + 2 * 200
+        lengths = ([pad_len // 8, pad_len] if self.cfg.trim_upload
+                   else [pad_len])
         for n in buckets:
-            audio = np.zeros(
-                (n, self._short_limit + 2 * 200), dtype=np.float32
+            for ship_len in lengths:
+                audio = np.zeros((n, ship_len), dtype=np.float32)
+                n_valid = np.full(n, CHUNK_FRAMES, dtype=np.int32)
+                self._warm_one(audio, n_valid)
+
+    def _warm_one(self, audio: np.ndarray, n_valid: np.ndarray) -> None:
+        if self.session.has_draft:
+            # Every short bucket takes the speculative program.
+            self.session.transcribe_short_speculative(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
             )
-            n_valid = np.full(n, CHUNK_FRAMES, dtype=np.int32)
-            if self.session.has_draft:
-                # Every short bucket takes the speculative program.
-                self.session.transcribe_short_speculative(
-                    audio, n_valid, self._prompt, self.cfg.max_new_tokens,
-                    self._special.eot,
-                    suppress_ids=self.gen_cfg.suppress_tokens,
-                    begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-                )
-            else:
-                self.session.transcribe_short_batch(
-                    audio, n_valid, self._prompt, self.cfg.max_new_tokens,
-                    self._special.eot,
-                    suppress_ids=self.gen_cfg.suppress_tokens,
-                    begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
-                )
+        else:
+            self.session.transcribe_short_batch(
+                audio, n_valid, self._prompt, self.cfg.max_new_tokens,
+                self._special.eot,
+                suppress_ids=self.gen_cfg.suppress_tokens,
+                begin_suppress_ids=self.gen_cfg.begin_suppress_tokens,
+            )
 
     def close(self) -> None:
         self._running = False
@@ -249,12 +271,8 @@ class StreamingEngine:
         while bucket < n and bucket < self.session.cfg.max_batch:
             bucket <<= 1
         pad_len = self._short_limit + 2 * 200
-        if self.cfg.trim_upload:
-            step = pad_len // 8
-            need = max(len(r.audio) for r in reqs) + 2 * 200
-            ship_len = min(pad_len, -(-need // step) * step)
-        else:
-            ship_len = pad_len
+        ship_len = (self._ship_len(max(len(r.audio) for r in reqs) + 2 * 200)
+                    if self.cfg.trim_upload else pad_len)
 
         audio = np.zeros((bucket, ship_len), dtype=np.float32)
         n_valid = np.zeros(bucket, dtype=np.int32)

@@ -212,8 +212,14 @@ class TranscriptionService:
                              task: str, emit, prompt_ids=None) -> str:
         """Run the seek-based sequential pipeline, calling ``emit(segment)``
         with each {"start","end","text"} dict as its window decodes (the
-        SSE delta source); returns the final stitched text."""
+        SSE delta source); returns the final stitched text.
+
+        language "auto" falls back to the engine default: the sequential
+        pipeline has no per-window detection pass (only transcribe_longform
+        does), and crashing mid-stream would be worse than a fixed
+        language."""
         cfg = self.engine.cfg
+        lang = language if language not in ("", "auto") else cfg.language
 
         def on_segments(segs: List[dict]) -> None:
             for s in segs:
@@ -222,7 +228,7 @@ class TranscriptionService:
         with self._direct_lock:
             text, _, _ = transcribe_sequential(
                 self.engine.session, audio,
-                language or cfg.language, task, cfg.max_new_tokens,
+                lang, task, cfg.max_new_tokens,
                 self.engine.tokenizer, self.engine.gen_cfg,
                 initial_prompt_ids=prompt_ids,
                 segment_callback=on_segments,
@@ -244,6 +250,20 @@ class TranscriptionService:
                 400, f"response_format must be one of {RESPONSE_FORMATS}")
         prompt_ids = self.prompt_ids(field("prompt"))
 
+        try:
+            temperature = float(field("temperature") or 0.0)
+        except ValueError:
+            raise HttpError(400, "temperature must be a number")
+        if temperature > 0.0 and fmt not in ("json", "text"):
+            # The sampled path produces no word alignments; claiming a
+            # temperature on greedy timing output would be a lie.
+            raise HttpError(
+                400, "temperature sampling supports response_format json "
+                     "or text (timing formats decode greedily)")
+        if temperature > 0.0 and prompt_ids is not None:
+            raise HttpError(400, "prompt is not supported together with "
+                                 "temperature sampling")
+
         smap = None
         if field("vad_filter").lower() in ("1", "true"):
             # faster-whisper's vad_filter surface: cut silence before
@@ -252,35 +272,15 @@ class TranscriptionService:
             from whisper_tpu.audio.vad import collect_chunks, detect_speech
 
             audio, smap = collect_chunks(audio, detect_speech(audio))
-            if audio.size == 0:
-                if fmt == "text":
-                    return "text/plain; charset=utf-8", "\n"
-                if fmt in ("srt", "vtt"):
-                    empty = format_srt([]) if fmt == "srt" else format_vtt([])
-                    ct = ("text/vtt" if fmt == "vtt"
-                          else "text/plain") + "; charset=utf-8"
-                    return ct, empty
-                out = {"text": ""}
-                if fmt == "verbose_json":
-                    out.update(task=task, language=language
-                               or self.engine.cfg.language,
-                               duration=round(duration, 3), segments=[])
-                return "application/json", json.dumps(out)
-        try:
-            temperature = float(field("temperature") or 0.0)
-        except ValueError:
-            raise HttpError(400, "temperature must be a number")
 
         if fmt in ("json", "text"):
-            if temperature > 0.0:
+            if audio.size == 0:
+                text = ""
+            elif temperature > 0.0:
                 # OpenAI semantics: temperature>0 samples.  Routed through
                 # the fallback ladder pinned to a single rung
                 # (pipeline/fallback.py), serialized like the other
                 # direct-lane work.
-                if prompt_ids is not None:
-                    raise HttpError(
-                        400, "prompt is not supported together with "
-                             "temperature sampling")
                 from whisper_tpu.pipeline.fallback import (
                     transcribe_longform_fallback,
                 )
@@ -303,8 +303,11 @@ class TranscriptionService:
                 return "text/plain; charset=utf-8", text + "\n"
             return "application/json", json.dumps({"text": text})
 
-        text, words = self.transcribe_verbose(audio, language, task,
-                                              prompt_ids)
+        if audio.size == 0:          # vad found no speech: empty envelope
+            text, words = "", []
+        else:
+            text, words = self.transcribe_verbose(audio, language, task,
+                                                  prompt_ids)
         if smap is not None:
             for w in words:
                 w["start"] = smap.restore_time(w["start"])
@@ -340,9 +343,9 @@ class TranscriptionService:
                  "end": round(w["end"], 3)}
                 for w in words
             ]
-        t = fields.get("temperature")
-        if t:
-            out["temperature"] = float(t[0])
+        if fields.get("temperature"):
+            out["temperature"] = 0.0   # timing formats decode greedily
+                                       # (temperature>0 is rejected above)
         return "application/json", json.dumps(out)
 
 
@@ -370,6 +373,10 @@ class _Handler(BaseHTTPRequestHandler):
                          err_type: str = "invalid_request_error") -> None:
         self._send(status, "application/json", json.dumps(
             {"error": {"message": message, "type": err_type}}))
+        # Error paths may not have consumed the request body (404 route,
+        # non-multipart 400, 411/413); leftover bytes would desync the
+        # next request on a kept-alive connection — close instead.
+        self.close_connection = True
 
     def _read_body(self) -> bytes:
         length = self.headers.get("Content-Length")
@@ -442,33 +449,59 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Connection", "close")  # length-less body
         self.end_headers()
 
-        sent_any = False
-
         def write_event(obj: dict) -> None:
             self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode("utf-8"))
             self.wfile.flush()
 
-        def emit(seg: dict) -> None:
-            nonlocal sent_any
-            sent_any = True
-            write_event({"type": "transcript.text.delta",
-                         "delta": seg["text"],
-                         "start": round(seg["start"], 3),
-                         "end": round(seg["end"], 3)})
+        # Decode runs on a worker thread emitting into an unbounded queue;
+        # THIS thread writes to the socket.  Socket writes must not happen
+        # under the service's direct-lane lock — a client that stops
+        # reading (full TCP window) would otherwise hold the lock and hang
+        # every other direct-lane request on the server.
+        import queue as _queue
+        import threading as _threading
 
+        q: "_queue.SimpleQueue" = _queue.SimpleQueue()
+
+        def run() -> None:
+            try:
+                text = self.service.transcribe_streaming(
+                    audio, language, task,
+                    lambda seg: q.put(("delta", seg)), prompt_ids)
+                q.put(("done", text))
+            except Exception as e:  # surfaced as an SSE error event
+                q.put(("error", e))
+
+        _threading.Thread(target=run, daemon=True).start()
+
+        sent_any = False
         try:
-            text = self.service.transcribe_streaming(
-                audio, language, task, emit, prompt_ids)
-            if not sent_any and text.strip():
-                # No timestamped segments (e.g. the model emitted
-                # no-timestamp output): still deliver the text as one delta.
-                write_event({"type": "transcript.text.delta", "delta": text})
-            write_event({"type": "transcript.text.done", "text": text})
+            while True:
+                kind, payload = q.get()
+                if kind == "delta":
+                    sent_any = True
+                    write_event({"type": "transcript.text.delta",
+                                 "delta": payload["text"],
+                                 "start": round(payload["start"], 3),
+                                 "end": round(payload["end"], 3)})
+                elif kind == "done":
+                    if not sent_any and payload.strip():
+                        # No timestamped segments (e.g. no-timestamp
+                        # output): deliver the text as one delta.
+                        write_event({"type": "transcript.text.delta",
+                                     "delta": payload})
+                    write_event({"type": "transcript.text.done",
+                                 "text": payload})
+                    break
+                else:
+                    write_event({"type": "error",
+                                 "error": f"{type(payload).__name__}: "
+                                          f"{payload}"})
+                    break
         except BrokenPipeError:
-            pass
-        except Exception as e:
-            write_event({"type": "error",
-                         "error": f"{type(e).__name__}: {e}"})
+            pass  # worker keeps draining the queue and exits on its own
+        finally:
+            self.close_connection = True
 
 
 def make_server(service: TranscriptionService, host: str,
@@ -491,11 +524,9 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     engine = build_engine(args)
     label = args.model_dir or args.model_id
-    from whisper_tpu.tokenizer.specials import resolve_tokenizer
-
-    tok = resolve_tokenizer("", args.model_dir, args.model_id)
     service = TranscriptionService(
-        engine, label, tokenizer_json=str(tok[1]) if tok else "")
+        engine, label,
+        tokenizer_json=getattr(engine, "tokenizer_json", ""))
     print(f"Compiling serving program "
           f"(max_batch={engine.session.cfg.max_batch})...")
     engine.warmup()

@@ -168,12 +168,16 @@ def build_engine(args) -> StreamingEngine:
         os.path.join(args.model_dir, "generation_config.json")
     ) if args.model_dir else None
 
-    return StreamingEngine(
+    engine = StreamingEngine(
         session, tok[0] if tok else None,
         EngineConfig(language=args.language, task=args.task,
                      max_new_tokens=args.max_new_tokens),
         gen_cfg,
     )
+    # Stash the tokenizer.json path for front ends that need to ENCODE
+    # text (the HTTP API's prompt field) — avoids a second resolution.
+    engine.tokenizer_json = str(tok[1]) if tok else ""
+    return engine
 
 
 def main(argv=None) -> int:

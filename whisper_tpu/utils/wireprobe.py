@@ -136,15 +136,18 @@ def choose_audio_transfer(
     jitter on this sample size is ~10%, so 15% cleanly separates the two
     (measured: int16=22 dint16=24 dint16p=23 MB/s on a flat session).
 
-    allow_pcm additionally races the bit-packed truncated-PCM encodings
-    (pcm14, pcm12 — 12.5% / 25% fewer wire bytes; quantization noise
-    at/below the log-mel clamp floor, token-A/B'd at whisper-base dims,
-    utils/pcmpack.py).  They are LOSSY vs the int16 source, so they must
-    be opted into; the probe compares seconds-per-file, so a compressing
-    tunnel that makes dint16p faster than the smaller pcm payload still
-    wins the race honestly.  Returns (mode, {mode: MB/s})."""
+    allow_pcm additionally races pcm12 (bit-packed truncated PCM — 25%
+    fewer wire bytes; quantization noise near the log-mel clamp floor,
+    token-A/B'd at whisper-base dims, utils/pcmpack.py).  It is LOSSY vs
+    the int16 source, so it must be opted into; the probe compares
+    seconds-per-file, so a compressing tunnel that makes dint16p faster
+    than the smaller pcm payload still wins the race honestly.  pcm14 is
+    NOT raced: its best honest advantage (12.5% fewer bytes) sits below
+    the 15% selection margin, so it could never win — it remains
+    available as an explicit --audio-transfer pcm14.
+    Returns (mode, {mode: MB/s})."""
     if allow_pcm:
-        candidates = tuple(candidates) + ("pcm14", "pcm12")
+        candidates = tuple(candidates) + ("pcm12",)
     rates = probe_rates(audio, candidates)
     n_samples = min(
         len(audio) if audio is not None else int(60.0 * 16_000),
