@@ -76,3 +76,16 @@ class TestDetect:
             max_new_tokens=4,
         )
         assert isinstance(text, str)
+
+    def test_sequential_auto_language(self, session):
+        """language='auto' must not crash the sequential pipeline (it
+        detects from the first window like transcribe_longform; with no
+        language tokens in the vocab it falls back to en)."""
+        from whisper_tpu.pipeline.sequential import transcribe_sequential
+
+        rng = np.random.default_rng(2)
+        audio = rng.normal(0, 0.1, 3 * 16000).astype(np.float32)
+        text, segments, _ = transcribe_sequential(
+            session, audio, "auto", "transcribe", max_new_tokens=4,
+        )
+        assert isinstance(text, str)

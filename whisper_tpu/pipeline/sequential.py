@@ -139,7 +139,11 @@ def transcribe_sequential(
     """
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
-    special = special_tokens(language, task, tokenizer)
+    # `language="auto"`: detect from the first 30 s window, like
+    # transcribe_longform (the prompt's lang slot is patched after the
+    # mel is up; special_tokens has no <|auto|> token).
+    detect = language == "auto"
+    special = special_tokens("en" if detect else language, task, tokenizer)
     ts_begin = special.no_timestamps + 1
     ts_cfg = TimestampCfg(
         timestamp_begin=ts_begin,
@@ -171,6 +175,21 @@ def transcribe_sequential(
         session.compute_mel(padded, total_frames, bucket)
     )
     preprocess_s = time.perf_counter() - tp0
+
+    if detect:
+        from whisper_tpu.runtime.langdetect import (
+            detect_language,
+            language_token_ids,
+        )
+
+        lang_ids = language_token_ids(tokenizer, special.sot,
+                                      session.dims.vocab_size)
+        detected = detect_language(
+            session, mel_dev[:, :CHUNK_FRAMES], special.sot, lang_ids)
+        if detected is not None:
+            # The lang slot sits right after <|sot|> — whether or not a
+            # static <|startofprev|> prefix was prepended above.
+            prompt[prompt.index(special.sot) + 1] = detected[1]
 
     segments: List[Segment] = []
     model_s = 0.0

@@ -212,14 +212,9 @@ class TranscriptionService:
                              task: str, emit, prompt_ids=None) -> str:
         """Run the seek-based sequential pipeline, calling ``emit(segment)``
         with each {"start","end","text"} dict as its window decodes (the
-        SSE delta source); returns the final stitched text.
-
-        language "auto" falls back to the engine default: the sequential
-        pipeline has no per-window detection pass (only transcribe_longform
-        does), and crashing mid-stream would be worse than a fixed
-        language."""
+        SSE delta source); returns the final stitched text.  language
+        "auto" detects from the first window (pipeline/sequential.py)."""
         cfg = self.engine.cfg
-        lang = language if language not in ("", "auto") else cfg.language
 
         def on_segments(segs: List[dict]) -> None:
             for s in segs:
@@ -228,7 +223,7 @@ class TranscriptionService:
         with self._direct_lock:
             text, _, _ = transcribe_sequential(
                 self.engine.session, audio,
-                lang, task, cfg.max_new_tokens,
+                language or cfg.language, task, cfg.max_new_tokens,
                 self.engine.tokenizer, self.engine.gen_cfg,
                 initial_prompt_ids=prompt_ids,
                 segment_callback=on_segments,
