@@ -383,6 +383,28 @@ class TestStreamingPlumbing:
         assert [g["text"] for g in got] == ["hello", "world"]
 
 
+class TestExampleClient:
+    def test_example_multipart_and_post(self, server_url, tmp_path):
+        """examples/http_client.py builds a body the server accepts."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "http_client_example",
+            os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "http_client.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        wav = tmp_path / "x.wav"
+        wav.write_bytes(_wav_bytes(0.5))
+        body, ctype = mod.multipart(
+            {"model": "whisper-1", "response_format": "json"}, str(wav))
+        status, _, payload = _post(
+            server_url + "/v1/audio/transcriptions", body, ctype)
+        assert status == 200 and "text" in json.loads(payload)
+
+
 class TestSequentialCallback:
     def test_segment_callback_matches_segments(self, server_url):
         # server_url fixture built the module session; reuse it via a
