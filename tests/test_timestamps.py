@@ -55,11 +55,19 @@ class TestRules:
 
     def test_pair_completion_bans_text(self):
         # last was timestamp, penultimate was text -> must close the pair.
+        # With uniform logits the probability-mass rule ALSO fires (many
+        # timestamp columns outweigh any single text token), banning EOT —
+        # exactly what HF does (`scores[:, :timestamp_begin] = -inf`), so
+        # EOT viability is asserted with a dominant EOT logit instead.
         logits = np.zeros(V, dtype=np.float32)
         out = _rules(logits, _state(last=TSB + 3, penult=7, max_ts=TSB + 3), 4)
         assert np.isneginf(out[1])             # text banned
         assert np.isfinite(out[TSB + 3])       # same timestamp closes pair
-        assert np.isfinite(out[EOT])
+        eot_hot = np.full(V, -2.0, dtype=np.float32)
+        eot_hot[EOT] = 6.0
+        out2 = _rules(eot_hot,
+                      _state(last=TSB + 3, penult=7, max_ts=TSB + 3), 4)
+        assert np.isfinite(out2[EOT])          # EOT can still end the window
 
     def test_after_pair_bans_timestamps(self):
         # last two both timestamps -> text required.
@@ -155,3 +163,58 @@ class TestHFOracle:
                     f"hist={hist} trial={trial}: "
                     f"got {got.argmax()} want {want.argmax()}"
                 )
+
+    def test_eot_top_logit_matches_hf(self):
+        """Adversarial EOT cases: random logits rarely rank EOT first, so
+        the random sweep above misses the begin-rule and probability-mass
+        EOT masking (HF masks [:timestamp_begin] in both, which includes
+        EOT; a round-3 review caught this implementation exempting it)."""
+        transformers = pytest.importorskip("transformers")
+        torch = pytest.importorskip("torch")
+        from transformers.generation.logits_process import (
+            WhisperTimeStampLogitsProcessor,
+        )
+
+        gen_cfg = transformers.GenerationConfig(
+            no_timestamps_token_id=NO_TS,
+            max_initial_timestamp_index=10,
+            eos_token_id=EOT,
+            decoder_start_token_id=3,
+        )
+        begin_index = 4
+        proc = WhisperTimeStampLogitsProcessor(
+            gen_cfg, begin_index=begin_index
+        )
+        prompt = [3, 50, 51, NO_TS]
+
+        cases = []
+        # EOT dominant at the FIRST generated token.
+        l0 = np.full(V, -2.0, np.float32)
+        l0[EOT] = 4.0
+        l0[TSB + 2] = 3.0
+        cases.append(([], l0))
+        # EOT slightly on top mid-text with timestamp mass winning:
+        # 14 timestamps at 3.5 sum past one EOT at 4.0.
+        l1 = np.full(V, -5.0, np.float32)
+        l1[EOT] = 4.0
+        l1[10] = 3.0
+        l1[TSB + 5: TSB + 19] = 3.5
+        cases.append(([TSB, 5, 6], l1))
+        # Pair-close position: EOT must STAY allowed there (HF masks only
+        # [:eos] after an unclosed timestamp).
+        l2 = np.full(V, -2.0, np.float32)
+        l2[EOT] = 4.0
+        cases.append(([TSB, 5, 6, TSB + 8], l2))
+
+        for hist, logits in cases:
+            ids = torch.tensor([prompt + hist], dtype=torch.long)
+            want = proc(ids, torch.from_numpy(logits.copy()[None])).numpy()[0]
+            state = init_state(1, EOT)
+            for t in hist:
+                state = update_state(
+                    state, jnp.asarray([t], dtype=jnp.int32), CFG
+                )
+            got = _rules(logits, state, len(hist))
+            assert int(got.argmax()) == int(want.argmax()), (
+                f"hist={hist}: got {got.argmax()} want {want.argmax()}"
+            )

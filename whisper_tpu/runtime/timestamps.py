@@ -81,22 +81,26 @@ def apply_rules(
     logits = jnp.where(has_ts & is_ts_col & (col < bound[:, None]),
                        NEG_INF, logits)
 
-    # First token must be a bounded timestamp (rule 4).
+    # First token must be a bounded timestamp (rule 4).  EOT is masked
+    # too: HF's processor does `scores[:, :timestamp_begin] = -inf` at
+    # the begin index and eot < timestamp_begin (a window always opens
+    # with a timestamp; budget/EOT can end it only later).
     is_begin = step == 0
     init_cap = tsb + cfg.max_initial_timestamp_index
     begin_ban = jnp.logical_or(col < tsb, col > init_cap)
-    begin_ban = jnp.logical_and(begin_ban, col != cfg.eot_id)
     logits = jnp.where(jnp.logical_and(is_begin, begin_ban), NEG_INF, logits)
 
-    # Probability-mass rule (5).
+    # Probability-mass rule (5).  Same HF semantics: when timestamp mass
+    # wins, EVERYTHING below timestamp_begin is banned, incl. EOT (the
+    # max_text comparison itself also includes EOT's logprob, matching
+    # `logprobs[k, :timestamp_begin].max()`).
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     ts_mass = jax.nn.logsumexp(
         jnp.where(is_ts_col, logprobs, NEG_INF), axis=-1
     )
     max_text = jnp.max(jnp.where(is_ts_col, NEG_INF, logprobs), axis=-1)
     force_ts = (ts_mass > max_text)[:, None]
-    logits = jnp.where(force_ts & ~is_ts_col & (col != cfg.eot_id),
-                       NEG_INF, logits)
+    logits = jnp.where(force_ts & ~is_ts_col, NEG_INF, logits)
     return logits
 
 
