@@ -114,3 +114,17 @@ class TestFallbackLadder:
         # Every chunk must end up accepted at the LAST rung.
         assert all(t == 1.0 for t in info["accepted_at"])
         assert isinstance(text, str)
+
+
+def test_fallback_auto_language(session):
+    """--language auto + --temperatures must not crash (first-window
+    detection like the sibling long-form modes)."""
+    from whisper_tpu.pipeline.fallback import transcribe_longform_fallback
+
+    rng = np.random.default_rng(5)
+    audio = rng.normal(0, 0.1, 2 * 16000).astype(np.float32)
+    text, _, info = transcribe_longform_fallback(
+        session, audio, "auto", "transcribe", max_new_tokens=4,
+        temperatures=(0.0,),
+    )
+    assert isinstance(text, str)

@@ -178,3 +178,15 @@ class TestOddGeometry:
             max_new_tokens=3, chunk_length_s=0.5, overlap_s=0.4,
             slab_chunks=4)
         assert isinstance(text, str)
+
+
+def test_empty_audio_returns_empty(nano_session):
+    """Zero-length audio must not crash the slab planner (chunked mode
+    returns empty text for the same input)."""
+    from whisper_tpu.pipeline.pipelined import transcribe_longform_pipelined
+
+    text, t = transcribe_longform_pipelined(
+        nano_session, np.zeros(0, np.float32), "en", "transcribe",
+        max_new_tokens=4,
+    )
+    assert text == ""

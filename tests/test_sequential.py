@@ -213,3 +213,18 @@ class TestSequentialBeamAndWords:
         for w in words:
             assert set(w) == {"word", "start", "end"}
             assert w["end"] >= w["start"] >= 0.0
+
+
+def test_unclosed_trailing_segment_clamped_to_duration():
+    """A window ending mid-speech must not report an end time past the
+    audio (e.g. 60 s on a 35 s file); max_end_s clamps it."""
+    from whisper_tpu.pipeline.sequential import parse_segments
+
+    toks = [TSB + 10, 7, 8]                  # opened, never closed
+    segs, last = parse_segments(toks, TSB, window_offset_s=30.0,
+                                max_end_s=35.0)
+    assert last is None
+    assert segs[0].end_s == 35.0
+    # Without the clamp the synthetic end is offset + 30 s.
+    segs2, _ = parse_segments(toks, TSB, window_offset_s=30.0)
+    assert segs2[0].end_s == 60.0

@@ -72,7 +72,11 @@ def transcribe_longform_fallback(
     chunk was finally accepted at."""
     t0 = time.perf_counter()
     gen_cfg = gen_cfg or GenerationCfg()
-    special = special_tokens(language, task, tokenizer)
+    # `language="auto"`: first-window detection, same as the sibling
+    # long-form modes (the prompt's lang slot is patched once the mel is
+    # up; special_tokens has no <|auto|> token).
+    detect = language == "auto"
+    special = special_tokens("en" if detect else language, task, tokenizer)
     prompt = [special.sot, special.lang, special.task, special.no_timestamps]
 
     chunk_len = int(round(chunk_length_s * SAMPLE_RATE))
@@ -86,6 +90,20 @@ def transcribe_longform_fallback(
         session.compute_mel(padded, total_frames, mel_frame_bucket(total_frames))
     )
     preprocess_s = time.perf_counter() - tp0
+
+    if detect:
+        from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+        from whisper_tpu.runtime.langdetect import (
+            detect_language,
+            language_token_ids,
+        )
+
+        lang_ids = language_token_ids(tokenizer, special.sot,
+                                      session.dims.vocab_size)
+        detected = detect_language(
+            session, mel_dev[:, :CHUNK_FRAMES], special.sot, lang_ids)
+        if detected is not None:
+            prompt[1] = detected[1]
 
     starts = chunk_starts(len(audio_16k), chunk_len, step)
     frame_starts = [pos // golden.HOP for pos in starts]

@@ -135,6 +135,10 @@ def transcribe_longform_pipelined(
     total_frames = golden.num_frames(len(audio_16k))
     starts = chunk_starts(len(audio_16k), chunk_len, step)
     frame_starts = [pos // HOP for pos in starts]
+    if not frame_starts:
+        # Zero-length audio: nothing to decode (chunked mode returns
+        # empty text here too; _slab_plan would max() an empty sequence).
+        return "", Timing(end_to_end_s=time.perf_counter() - t0)
     cap, plan = _slab_plan(frame_starts, total_frames, slab_chunks)
 
     need = (cap + 2) * HOP

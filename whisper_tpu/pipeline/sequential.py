@@ -60,12 +60,16 @@ class Segment:
 
 
 def parse_segments(
-    tokens: List[int], ts_begin: int, window_offset_s: float
+    tokens: List[int], ts_begin: int, window_offset_s: float,
+    max_end_s: Optional[float] = None,
 ) -> Tuple[List[Segment], Optional[int]]:
     """Split a generated token row into timestamped segments.
 
     Returns (segments with absolute times, last closing timestamp index
-    relative to ts_begin — None if the window did not end on a boundary)."""
+    relative to ts_begin — None if the window did not end on a boundary).
+    max_end_s clamps the synthetic end time of an UNCLOSED trailing
+    segment (window ran out mid-speech) to the true audio duration —
+    otherwise a 35 s file's second window would report end_s=60."""
     segments: List[Segment] = []
     start: Optional[int] = None
     body: List[int] = []
@@ -92,9 +96,12 @@ def parse_segments(
             body.append(t)
     if body and start is not None:
         # Unclosed trailing segment: window ran out mid-speech.
+        end_s = window_offset_s + CHUNK_FRAMES * 0.01
+        if max_end_s is not None:
+            end_s = min(end_s, max_end_s)
         segments.append(Segment(
             start_s=window_offset_s + start * 0.02,
-            end_s=window_offset_s + CHUNK_FRAMES * 0.01,
+            end_s=end_s,
             tokens=body,
         ))
         last_close = None
@@ -196,6 +203,7 @@ def transcribe_sequential(
     decode_s = 0.0
     seek = 0
     windows = 0
+    mel_pad = None   # lazily padded whole-file mel for word alignment
     while seek < total_frames and windows < max_windows:
         if condition_on_prev_text:
             tail = prev_tokens[-(k_prev - 1):] if k_prev > 1 else []
@@ -221,16 +229,21 @@ def transcribe_sequential(
 
         td0 = time.perf_counter()
         gen = strip_generated(tokens[0], special.eot)
-        segs, last_close = parse_segments(gen, ts_begin, seek * 0.01)
+        segs, last_close = parse_segments(gen, ts_begin, seek * 0.01,
+                                          max_end_s=total_frames * 0.01)
         segments.extend(segs)
         if word_collector is not None:
             text_tokens = [t for t in gen if t < ts_begin]
             if text_tokens:
-                import jax.numpy as jnp
-
                 from whisper_tpu.pipeline.words import align_chunk_words
 
-                mel_pad = jnp.pad(mel_dev, ((0, 0), (0, CHUNK_FRAMES)))
+                if mel_pad is None:
+                    # Hoisted across windows: the whole-file pad is O(file
+                    # size) device work, identical every iteration (same
+                    # pattern as transcribe_longform's word path).
+                    import jax.numpy as jnp
+
+                    mel_pad = jnp.pad(mel_dev, ((0, 0), (0, CHUNK_FRAMES)))
                 chunk_mel = jax.lax.dynamic_slice(
                     mel_pad, (0, seek),
                     (session.dims.n_mels, CHUNK_FRAMES),

@@ -96,8 +96,13 @@ def alignment_matrix(
     l = weights.shape[0]
     w = weights[l // 2:, :, :n_tokens, :n_frames].astype(np.float64)
     w = w.reshape(-1, n_tokens, n_frames)
-    mean = w.mean(axis=-1, keepdims=True)
-    std = w.std(axis=-1, keepdims=True)
+    # Normalize over the TOKEN axis per frame column (openai-whisper
+    # timing.py / HF _extract_token_timestamps: std_mean with dim=-2,
+    # unbiased=False).  A round-3 review caught this normalizing over
+    # frames (axis=-1), which rescales weak token rows to unit std and
+    # shifts the DTW path vs the reference SUTs.
+    mean = w.mean(axis=-2, keepdims=True)
+    std = w.std(axis=-2, keepdims=True)
     w = (w - mean) / np.maximum(std, 1e-8)
     w = median_filter(w, 7)
     return w.mean(axis=0)

@@ -728,6 +728,13 @@ class WhisperSession:
         clamped/normalized) with this many valid frames; each chunk window
         is normalized with its own masked max inside the program
         (per-chunk semantics, pipeline/pipelined.py)."""
+        if num_beams > 1 and (with_scores or temperature > 0.0):
+            # The beam program returns tokens only; silently dropping the
+            # scores/sampling request would corrupt gather_tokens'
+            # unpacking downstream.
+            raise ValueError("num_beams > 1 does not compose with "
+                             "with_scores/temperature (beam search is "
+                             "deterministic and returns tokens only)")
         pieces = self.transcribe_from_mel_async(
             mel, frame_starts, prompt, max_new_tokens, eot_id,
             suppress_ids, begin_suppress_ids, num_beams, length_penalty,
@@ -865,6 +872,7 @@ class WhisperSession:
                     packed_cross=self._packed_cross,
                     int8_mxu=self._int8_mxu,
                     int8_self=self._int8_self,
+                    step_weights=sw,
                     precision=precision,
                     mesh=self._mesh,
                 )
