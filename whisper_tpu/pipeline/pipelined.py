@@ -146,13 +146,7 @@ def transcribe_longform_pipelined(
     preprocess_s = 0.0
     for i, (f0, n_valid, local) in enumerate(plan):
         s0 = f0 * HOP
-        avail = padded[s0 : s0 + need]
-        if avail.shape[0] < need:
-            buf = np.zeros(need, dtype=np.float32)
-            buf[: avail.shape[0]] = avail
-        else:
-            buf = np.ascontiguousarray(avail)
-        enc = session._encode_transfer(buf)
+        enc = session.encode_host_slab(padded, s0, need)
         ls, _vmax = log_spec_slab(
             jnp.asarray(enc), jnp.int32(n_valid),
             n_mels=session.dims.n_mels, n_frames=cap,

@@ -521,6 +521,22 @@ class WhisperSession:
             self._fns[key] = jax.jit(run)
         return self._fns[key]
 
+    def encode_host_slab(self, padded_audio: np.ndarray, s0: int,
+                         need: int) -> np.ndarray:
+        """One upload slab: samples [s0, s0+need) of the reflect-padded
+        signal, zero-filled past its end (a zero tail only feeds frames
+        beyond the slab's valid count), wire-encoded per
+        cfg.audio_transfer.  Shared by compute_mel_streamed and the
+        pipelined long-form driver so the slab contract (slack rule,
+        tail fill, encoding) lives in ONE place."""
+        avail = padded_audio[s0 : s0 + need]
+        if avail.shape[0] < need:
+            buf = np.zeros(need, dtype=np.float32)
+            buf[: avail.shape[0]] = avail
+        else:
+            buf = np.ascontiguousarray(avail)
+        return self._encode_transfer(buf)
+
     def compute_mel_streamed(self, padded_audio: np.ndarray, n_valid: int,
                              n_frames: int) -> jax.Array:
         """Whole-file log-mel with the upload pipelined in frame slabs.
@@ -554,14 +570,7 @@ class WhisperSession:
         padded_audio = np.asarray(padded_audio, dtype=np.float32)
         for k in range(n_slabs):
             f0 = k * sf
-            s0 = f0 * HOP
-            avail = padded_audio[s0 : s0 + need]
-            if avail.shape[0] < need:
-                host_slab = np.zeros(need, dtype=np.float32)
-                host_slab[: avail.shape[0]] = avail
-            else:
-                host_slab = np.ascontiguousarray(avail)
-            enc = self._encode_transfer(host_slab)
+            enc = self.encode_host_slab(padded_audio, f0 * HOP, need)
             valid_k = max(0, min(n_valid - f0, sf))
             ls, vm = log_spec_slab(
                 jnp.asarray(enc), jnp.int32(valid_k),
