@@ -23,8 +23,11 @@ def _reference(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-@pytest.mark.parametrize("t", [1500, 256, 100])
+@pytest.mark.parametrize("t", [1500, 256, 100, 300, 650])
 def test_matches_reference(t):
+    # 300 and 650: round_up(t,128) is NOT a multiple of the 256 q-block —
+    # regression for the grid floor-division that dropped the trailing
+    # partial block (rows past the last full block came back as garbage).
     q, k, v = _qkv(2, 3, t, 64, seed=t)
     want = np.asarray(_reference(q, k, v))
     got = np.asarray(fused_attention(q, k, v, interpret=True))

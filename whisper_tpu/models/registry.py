@@ -87,9 +87,31 @@ def get_dims(model_id: str) -> WhisperDims:
 def dims_from_hf_config(cfg) -> WhisperDims:
     """Build dims from a transformers WhisperConfig-like object or dict."""
     get = (lambda k: getattr(cfg, k)) if not isinstance(cfg, dict) else cfg.__getitem__
+
+    def get_opt(k, default):
+        try:
+            return get(k)
+        except (AttributeError, KeyError):
+            return default
+
+    d = get("d_model")
+    # Real FFN widths, not an assumed 4*d (fine-tuned/custom checkpoints
+    # may differ; the stacked param shapes and the fused-kernel VMEM
+    # guards must see the true size).  The stacked pytree shares one
+    # d_ffn for both towers — reject checkpoints that split them rather
+    # than silently mis-shaping one side.
+    e_ffn = get_opt("encoder_ffn_dim", 4 * d)
+    d_ffn = get_opt("decoder_ffn_dim", 4 * d)
+    if e_ffn != d_ffn:
+        raise NotImplementedError(
+            f"encoder_ffn_dim ({e_ffn}) != decoder_ffn_dim ({d_ffn}): the "
+            "stacked param layout assumes one FFN width for both towers")
+    if e_ffn % d != 0:
+        raise NotImplementedError(
+            f"ffn dim {e_ffn} is not a multiple of d_model {d}")
     return WhisperDims(
         n_mels=get("num_mel_bins"),
-        d_model=get("d_model"),
+        d_model=d,
         encoder_layers=get("encoder_layers"),
         encoder_heads=get("encoder_attention_heads"),
         decoder_layers=get("decoder_layers"),
@@ -97,4 +119,5 @@ def dims_from_hf_config(cfg) -> WhisperDims:
         vocab_size=get("vocab_size"),
         max_source_positions=get("max_source_positions"),
         max_target_positions=get("max_target_positions"),
+        ffn_mult=e_ffn // d,
     )

@@ -87,6 +87,17 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 
+def _dequant(w, dtype):
+    """QTensor -> dense weight in `dtype`; non-quantized weights pass
+    through.  Duck-typed on the class NAME because importing
+    variants.quant here would cycle (variants.__init__ -> ladder ->
+    runtime.session -> this module); this is THE one dequant site —
+    keep variants.quant.dequantize's math (q * s) in sync."""
+    if type(w).__name__ == "QTensor":
+        return w.q.astype(dtype) * w.s.astype(dtype)
+    return w
+
+
 def _dense(x, w, b, precision, int8_act: bool = False):
     if type(w).__name__ == "QTensor":  # int8 weight (variants.quant)
         if int8_act:
@@ -107,7 +118,7 @@ def _dense(x, w, b, precision, int8_act: bool = False):
             y = (acc.astype(jnp.float32) * xs
                  * w.s.astype(jnp.float32)).astype(x.dtype)
             return y if b is None else y + b
-        w = w.q.astype(x.dtype) * w.s.astype(x.dtype)
+        w = _dequant(w, x.dtype)
     y = jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
     return y if b is None else y + b
 
@@ -222,9 +233,7 @@ def encoder_apply(
         fused_mlp = fits_vmem(dims.d_model, dims.d_ffn, dtype)
 
     def _dq(w):
-        if type(w).__name__ == "QTensor":
-            return w.q.astype(dtype) * w.s.astype(dtype)
-        return w
+        return _dequant(w, dtype)
 
     def block_fused(x, p):
         """One encoder layer via the ops/encoder_block.py kernel pair; the
@@ -269,14 +278,10 @@ def encoder_apply(
             # addendum; WhisperSession warns when both flags are set).
             from whisper_tpu.ops.encoder_mlp import fused_encoder_mlp
 
-            def dq(w):
-                if type(w).__name__ == "QTensor":
-                    return w.q.astype(x.dtype) * w.s.astype(x.dtype)
-                return w
-
             x = fused_encoder_mlp(
                 x, p["mlp_ln_s"], p["mlp_ln_b"],
-                dq(p["fc1_w"]), p["fc1_b"], dq(p["fc2_w"]), p["fc2_b"],
+                _dequant(p["fc1_w"], x.dtype), p["fc1_b"],
+                _dequant(p["fc2_w"], x.dtype), p["fc2_b"],
                 interpret=jax.default_backend() != "tpu",
             )
         else:
@@ -349,6 +354,16 @@ def _decoder_blocks(
             params, dims, x, cache, pos, precision, cross_len, pad_count,
             int8_mxu=int8_mxu, mesh=mesh,
         )
+    if int8_self or (packed_cross and cache.self_k.shape[-1] == 128):
+        # A packed/int8 SELF cache that missed the packed fast path (s>1
+        # or vector pos, e.g. a speculative verify pass) must not fall
+        # into the generic block below: its dynamic_update_slice/_attend
+        # assume the unpacked [B,H,S,Dh] bf16 layout and would silently
+        # attend a head-packed (possibly int8) cache.
+        raise ValueError(
+            "packed/int8 self cache requires the single-token scalar-pos "
+            "decode step (s==1, scalar pos); use an unpacked cache for "
+            "multi-token or per-row-position passes")
 
     def block(x, layer):
         if packed_cross:

@@ -44,8 +44,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int):
     ).astype(q.dtype)
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
+from whisper_tpu.ops.common import round_up as _round_up
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -58,6 +57,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, t, dh = q.shape
     t_pad = _round_up(t, 128)
     tq = min(Q_BLOCK, t_pad)
+    # The q-grid tiles t_pad in tq blocks; t_pad must divide evenly or the
+    # trailing partial block's rows would never be written (latent for
+    # Whisper's t=1500 -> 1536 = 6*256, but e.g. t=300 -> 384 would lose
+    # rows 256..299).  Round up to the block size, not just 128.
+    t_pad = _round_up(t_pad, tq)
 
     qf = q.reshape(b * h, t, dh)
     kf = k.reshape(b * h, t, dh)

@@ -44,8 +44,7 @@ LANES = 128
 PACK = 2  # heads per lane group (2 * head_dim 64 = 128 lanes)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from whisper_tpu.ops.common import round_up as _round_up
 
 
 def pack_cross_kv(x8: jax.Array) -> jax.Array:

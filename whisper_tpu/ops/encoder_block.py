@@ -54,16 +54,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 512  # rows (B*T positions) per grid step
-_SQRT_2_OVER_PI = 0.7978845608028654
 _VMEM_WEIGHT_BUDGET = 12 * 2**20
 
 
-def _gelu_tanh(x):
-    return 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
+from whisper_tpu.ops.common import gelu_tanh as _gelu_tanh
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
+from whisper_tpu.ops.common import round_up as _round_up
 
 
 def fits_vmem(d: int, f: int, dtype) -> bool:

@@ -33,7 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 512  # rows (B*T positions) per grid step
-_SQRT_2_OVER_PI = 0.7978845608028654
 
 # Both dense weight matrices live in VMEM as constant operands and Mosaic
 # double-buffers them, so the weights alone cost 2 * (2*d*f) * itemsize
@@ -50,8 +49,7 @@ def fits_vmem(d: int, f: int, dtype) -> bool:
     return 2 * (2 * d * f * itemsize) <= _VMEM_WEIGHT_BUDGET
 
 
-def _gelu_tanh(x):
-    return 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
+from whisper_tpu.ops.common import gelu_tanh as _gelu_tanh
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -75,8 +73,7 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[...] = (x32 + y).astype(x.dtype)
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
+from whisper_tpu.ops.common import round_up as _round_up
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -33,8 +33,7 @@ LANES = 128
 PACK = 2
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from whisper_tpu.ops.common import round_up as _round_up
 
 
 def pack_self_cache(x: jax.Array) -> jax.Array:

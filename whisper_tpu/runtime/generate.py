@@ -111,6 +111,13 @@ def greedy_generate(
             lp = jnp.zeros(logits_f32.shape[0], jnp.float32)
         return tok, lp
 
+    if step_weights is not None and pad_count is not None:
+        # decoder_step_hybrid has no pad mask: it would attend the left
+        # padding and offset positions on conditioned prompts.  The
+        # session disables it for conditioned programs (session.py); this
+        # guard makes the constraint local and loud.
+        raise ValueError("step_weights (fused_decoder_step) does not "
+                         "support pad_count-conditioned prompts")
     prompt_mask = None
     if pad_count is not None:
         prompt_mask = jnp.arange(p)[None, :] >= pad_count[:, None]  # [B, P]
