@@ -118,3 +118,20 @@ class TestWavReader:
         p.write_bytes(b"\xff\xfb")
         with pytest.raises(RuntimeError):
             load_audio_16k_mono(str(p))
+
+
+def test_wav_truncated_data_chunk_decodes(tmp_path):
+    """A data-chunk size past EOF (streamed/cut files) must decode the
+    whole samples present, not crash np.frombuffer on a ragged tail."""
+    import struct
+
+    from whisper_tpu.audio.wav import read_wav
+
+    pcm = (np.sin(np.arange(1000) / 5.0) * 20000).astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
+                      b"WAVE", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16,
+                      b"data", len(pcm) + 999)   # declared size past EOF
+    p = tmp_path / "cut.wav"
+    p.write_bytes(hdr + pcm + b"\x01")           # one ragged byte
+    mono, sr = read_wav(str(p))
+    assert sr == 16000 and len(mono) == 1000

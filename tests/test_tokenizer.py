@@ -124,3 +124,14 @@ class TestResolveTokenizer:
     def test_missing_flag_file_raises(self):
         with pytest.raises(FileNotFoundError):
             resolve_tokenizer(tokenizer_json="/does/not/exist.json")
+
+
+def test_resolve_ignores_cwd_tokenizer(tmp_path, monkeypatch):
+    """Empty model_dir/model_id must NOT probe ./tokenizer.json (a stray
+    CWD file would outrank the documented priority chain)."""
+    from whisper_tpu.tokenizer.specials import resolve_tokenizer
+
+    (tmp_path / "tokenizer.json").write_text("{not even json")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "nohub"))
+    assert resolve_tokenizer("", "", "no-slash-model") is None

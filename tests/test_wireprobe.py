@@ -78,3 +78,51 @@ def test_lossless_auto_never_picks_pcm(monkeypatch):
     monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
     mode, _ = wireprobe.choose_audio_transfer(np.zeros(160, np.float32))
     assert mode == "int16"
+
+
+def test_margin_vs_first_candidate_not_running_best(monkeypatch):
+    """Qualifiers are judged against the FIRST candidate; among them the
+    fastest wins (a marginal early winner must not block a clearly
+    better later mode)."""
+    from whisper_tpu.utils import wireprobe
+
+    def fake_rates(audio, candidates):
+        return {"int16": 0.100, "dint16": 0.086, "dint16p": 0.080}
+
+    monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
+    mode, _ = wireprobe.choose_audio_transfer(np.zeros(160, np.float32))
+    assert mode == "dint16p"
+
+
+def test_unmeasurable_mode_never_wins(monkeypatch):
+    from whisper_tpu.utils import wireprobe
+
+    def fake_rates(audio, candidates):
+        return {m: (float("inf") if m != "int16" else 0.1)
+                for m in candidates}
+
+    monkeypatch.setattr(wireprobe, "probe_rates", fake_rates)
+    mode, _ = wireprobe.choose_audio_transfer(
+        np.zeros(160, np.float32), allow_pcm=True)
+    assert mode == "int16"
+
+
+def test_probe_payloads_match_session_encoder():
+    """The probe must measure the session's exact payloads (shared
+    utils/pcmpack.encode_wire)."""
+    import dataclasses
+
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.utils.wireprobe import _encode
+
+    dims = get_dims("test/whisper-nano")
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 0.2, 4096).astype(np.float32)
+    for mode in ("int16", "dint16", "dint16p", "pcm12", "pcm14"):
+        cfg = RuntimeCfg(dtype="float32", audio_transfer=mode)
+        sess = WhisperSession(init_params(dims, seed=0), dims, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(sess._encode_transfer(audio)).view(np.uint8),
+            np.asarray(_encode(audio, mode)).view(np.uint8))

@@ -94,8 +94,10 @@ def detect_speech(
     if in_speech:
         spans.append((start, len(e)))
 
-    # frames -> samples
-    spans = [(s * _HOP, min(t * _HOP + _FRAME, len(audio)))
+    # frames -> samples: frames [s, t) are speech; the LAST speech frame
+    # t-1 covers samples up to (t-1)*hop + frame (using t's coverage
+    # would leak one hop of confirmed silence into every span).
+    spans = [(s * _HOP, min((t - 1) * _HOP + _FRAME, len(audio)))
              for s, t in spans]
 
     # Bridge short silences.

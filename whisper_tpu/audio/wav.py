@@ -54,16 +54,25 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if channels <= 0:
         raise ValueError("WAV has zero channels")
 
+    def _whole(buf: bytes, size: int) -> bytes:
+        # Truncated/streaming files often declare a data size past EOF
+        # (or 0xFFFFFFFF); keep whole samples instead of letting
+        # np.frombuffer raise on a ragged tail (the 24-bit branch always
+        # truncated this way — now every branch does).
+        return buf[: (len(buf) // size) * size]
+
     if audio_format == _IEEE_FLOAT:
         dtype = {32: "<f4", 64: "<f8"}.get(bits)
         if dtype is None:
             raise ValueError(f"Unsupported float bit depth: {bits}")
-        x = np.frombuffer(payload, dtype=dtype).astype(np.float32)
+        x = np.frombuffer(_whole(payload, bits // 8),
+                          dtype=dtype).astype(np.float32)
     elif audio_format == _PCM:
         if bits == 8:
             x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
         elif bits == 16:
-            x = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(_whole(payload, 2),
+                              dtype="<i2").astype(np.float32) / 32768.0
         elif bits == 24:
             raw = np.frombuffer(payload, dtype=np.uint8)
             raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
@@ -75,7 +84,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
             x = vals.astype(np.float32) / float(1 << 23)
         elif bits == 32:
-            x = np.frombuffer(payload, dtype="<i4").astype(np.float32) / float(1 << 31)
+            x = np.frombuffer(_whole(payload, 4),
+                              dtype="<i4").astype(np.float32) / float(1 << 31)
         else:
             raise ValueError(f"Unsupported PCM bit depth: {bits}")
     else:

@@ -409,33 +409,19 @@ class WhisperSession:
             x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
             return np.round(x * 32767.0).astype(np.int16)
         if mode == "dint16" and audio.dtype != np.uint16:
-            # Delta-coded int16 shipped as uint16 (mod-2^16 differences
-            # along the last axis): the tunnel compressor recovers ~1.5x
-            # on speech-like signals vs raw int16, and the device-side
-            # modular cumsum reconstructs the int16 samples EXACTLY
-            # (frontend.mel.decode_transfer; bitwise-tested).
-            x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
-            pcm = np.round(x * 32767.0).astype(np.int16)
-            d = np.diff(pcm.astype(np.int32), axis=-1,
-                        prepend=np.int32(0)).astype(np.uint16)
-            return d
+            # Delta-coded int16 shipped as uint16: helps only on a
+            # compressing link; bit-exact after the device-side modular
+            # cumsum (utils/pcmpack.encode_wire — the SHARED encoder the
+            # wire probe also measures; frontend.mel.decode_transfer).
+            from whisper_tpu.utils.pcmpack import encode_wire
+
+            return encode_wire(audio, "dint16")
         if mode == "dint16p" and audio.dtype != np.int8:
-            # Planar zig-zag deltas: like dint16, but the 16-bit values
-            # are zig-zag mapped (small magnitudes -> small codes) and the
-            # high/low bytes shipped as two CONTIGUOUS planes along the
-            # last axis ([..., hi | lo], int8, 2L bytes — same payload
-            # size).  On a compressing link the low-entropy high-byte
-            # plane collapses; decode is bit-exact
-            # (frontend.mel.decode_transfer int8 branch).
-            x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
-            pcm = np.round(x * 32767.0).astype(np.int16)
-            d = np.diff(pcm.astype(np.int32), axis=-1,
-                        prepend=np.int32(0)).astype(np.int16)
-            di = d.astype(np.int32)
-            z = ((di << 1) ^ (di >> 15)) & 0xFFFF
-            hi = (z >> 8).astype(np.uint8)
-            lo = (z & 0xFF).astype(np.uint8)
-            return np.concatenate([hi, lo], axis=-1).view(np.int8)
+            # Planar zig-zag deltas (byte planes for block compressors);
+            # same shared encoder + bit-exact device decode as above.
+            from whisper_tpu.utils.pcmpack import encode_wire
+
+            return encode_wire(audio, "dint16p")
         if mode == "ulaw8" and audio.dtype != np.uint8:
             from whisper_tpu.audio.resample import ulaw_encode
 

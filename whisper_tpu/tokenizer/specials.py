@@ -73,8 +73,13 @@ def resolve_tokenizer(
             raise FileNotFoundError(f"tokenizer_json not found: {p}")
         return WhisperDetokenizer.from_file(str(p)), p
 
-    for cand in (Path(model_dir) / "tokenizer.json",
-                 Path(model_id) / "tokenizer.json"):
+    # Empty strings are skipped: Path("")/"tokenizer.json" is the RELATIVE
+    # path ./tokenizer.json, and a stray file in the CWD must not outrank
+    # the documented chain (flag > model_dir > model_id > hub snapshot).
+    for root in (model_dir, model_id):
+        if not root.strip():
+            continue
+        cand = Path(root) / "tokenizer.json"
         if cand.is_file():
             return WhisperDetokenizer.from_file(str(cand)), cand
 

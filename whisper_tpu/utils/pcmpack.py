@@ -21,7 +21,49 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["pack_pcm", "quantized_reference"]
+__all__ = ["encode_wire", "pack_pcm", "quantized_reference"]
+
+
+def _to_pcm16(audio: np.ndarray) -> np.ndarray:
+    if audio.dtype == np.int16:
+        return audio
+    x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    return np.round(x * 32767.0).astype(np.int16)
+
+
+def encode_wire(audio: np.ndarray, mode: str) -> np.ndarray:
+    """Canonical host-side wire encoder for every compact upload mode.
+
+    audio: float32 in [-1,1] or int16 PCM, shape [..., L] (deltas run
+    along the last axis — the serving path encodes [B, L] batches).
+    THE single definition shared by runtime.session._encode_transfer and
+    utils.wireprobe, so the probe measures the identical payload the
+    session ships (a drifted copy would skew the encoding race).
+    Device inverses: frontend.mel.decode_transfer.
+    """
+    if mode == "int16":
+        return _to_pcm16(audio)
+    if mode == "dint16":
+        # First differences mod 2^16 shipped as uint16; device modular
+        # cumsum reconstructs the int16 EXACTLY.
+        pcm = _to_pcm16(audio)
+        return np.diff(pcm.astype(np.int32), axis=-1,
+                       prepend=np.int32(0)).astype(np.uint16)
+    if mode == "dint16p":
+        # Zig-zag deltas split into contiguous high/low byte planes
+        # ([..., hi | lo] int8, 2L bytes): low-entropy high bytes sit in
+        # one run for a compressing link; decode is bit-exact.
+        pcm = _to_pcm16(audio)
+        d = np.diff(pcm.astype(np.int32), axis=-1,
+                    prepend=np.int32(0)).astype(np.int16)
+        di = d.astype(np.int32)
+        z = ((di << 1) ^ (di >> 15)) & 0xFFFF
+        hi = (z >> 8).astype(np.uint8)
+        lo = (z & 0xFF).astype(np.uint8)
+        return np.concatenate([hi, lo], axis=-1).view(np.int8)
+    if mode in ("pcm12", "pcm14"):
+        return pack_pcm(audio, mode)
+    raise ValueError(f"unknown wire encoding {mode!r}")
 
 
 def pack_pcm(audio: np.ndarray, mode: str) -> np.ndarray:

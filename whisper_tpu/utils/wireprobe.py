@@ -55,26 +55,11 @@ def synth_speechlike(seconds: float = 60.0, sr: int = 16_000) -> np.ndarray:
 
 
 def _encode(pcm: np.ndarray, mode: str) -> np.ndarray:
-    if mode == "int16":
-        return pcm
-    if mode == "dint16":
-        return np.diff(pcm.astype(np.int32),
-                       prepend=np.int32(0)).astype(np.uint16)
-    if mode == "dint16p":
-        # Planar zig-zag deltas (session._encode_transfer "dint16p").
-        d = np.diff(pcm.astype(np.int32),
-                    prepend=np.int32(0)).astype(np.int16)
-        di = d.astype(np.int32)
-        z = ((di << 1) ^ (di >> 15)) & 0xFFFF
-        return np.concatenate([(z >> 8).astype(np.uint8),
-                               (z & 0xFF).astype(np.uint8)]).view(np.int8)
-    if mode in ("pcm12", "pcm14"):
-        # Bit-packed truncated PCM (utils/pcmpack.py): 25% / 12.5% fewer
-        # bytes on EVERY link, compressing or not.
-        from whisper_tpu.utils.pcmpack import pack_pcm
+    # THE session's encoder (utils/pcmpack.encode_wire): the probe must
+    # measure the identical payload the session would ship.
+    from whisper_tpu.utils.pcmpack import encode_wire
 
-        return pack_pcm(pcm, mode)
-    raise ValueError(f"unknown probe encoding {mode!r}")
+    return encode_wire(pcm, mode)
 
 
 def probe_rates(
@@ -93,8 +78,13 @@ def probe_rates(
     if audio is None:
         audio = synth_speechlike(sample_s)
     n = min(len(audio), int(sample_s * 16_000))
-    x = np.clip(np.asarray(audio[:n], dtype=np.float32), -1.0, 1.0)
-    pcm = np.round(x * 32767.0).astype(np.int16)
+    if audio.dtype == np.int16:
+        # Already PCM: clipping to [-1,1] would flatten it to +/-1 and
+        # make the delta encodings look maximally compressible.
+        pcm = np.asarray(audio[:n])
+    else:
+        x = np.clip(np.asarray(audio[:n], dtype=np.float32), -1.0, 1.0)
+        pcm = np.round(x * 32767.0).astype(np.int16)
 
     @jax.jit
     def consume(v):
@@ -112,9 +102,19 @@ def probe_rates(
     for mode in candidates:
         payload = _encode(pcm, mode)
         run(payload, 1)  # warm: compile consume for this dtype + 1 upload
-        t_small = run(payload, reps_small)
-        t_big = run(payload, reps_big)
-        out[mode] = max((t_big - t_small) / (reps_big - reps_small), 1e-9)
+        delta = None
+        for _attempt in range(2):
+            t_small = run(payload, reps_small)
+            t_big = run(payload, reps_big)
+            delta = (t_big - t_small) / (reps_big - reps_small)
+            if delta > 0:
+                break
+        if delta is None or delta <= 0:
+            # Jitter produced a nonsensical negative delta twice: mark
+            # the mode unmeasurable (it must never win on a fluke — with
+            # allow_pcm a fluke could silently pick a LOSSY encoding).
+            delta = float("inf")
+        out[mode] = delta
     return out
 
 
@@ -155,8 +155,12 @@ def choose_audio_transfer(
     )
     mbps = {m: n_samples * _BYTES_PER_SAMPLE.get(m, 2.0) / s / 1e6
             for m, s in rates.items()}
-    best = candidates[0]
-    for mode in candidates[1:]:
-        if rates[mode] * margin < rates[best]:
-            best = mode
+    # Margin vs the FIRST candidate only (the no-extra-work default);
+    # among qualifiers, take the fastest.  Chaining the margin through a
+    # running best would let an early marginal winner block a later mode
+    # that beats the default by far more than the margin.
+    first = candidates[0]
+    qualifiers = [m for m in candidates[1:]
+                  if rates[m] * margin < rates[first]]
+    best = min(qualifiers, key=lambda m: rates[m], default=first)
     return best, mbps
