@@ -422,3 +422,38 @@ class TestLargeWidthTP:
         got = sharded.transcribe_chunks(mel, prompt=prompt, max_new_tokens=4,
                                         eot_id=50257)
         np.testing.assert_array_equal(got, want)
+
+
+def test_int8_weights_tensor_parallel_shards():
+    """x4/x5-style int8 weights + TP: the QTensor per-channel scale
+    [L, 1, out] cannot shard its size-1 dim — the shape-aware rules must
+    replicate it instead of crashing device_put, and outputs must match
+    the single-device int8 session."""
+    from jax.sharding import PartitionSpec as P
+
+    from whisper_tpu.models.convert import init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)
+    base = RuntimeCfg(dtype="float32", int8_weights=True, max_batch=2)
+    import dataclasses
+
+    plain = WhisperSession(params, dims, base)
+    sharded = WhisperSession(
+        params, dims,
+        dataclasses.replace(base, data_parallel=2, tensor_parallel=2),
+    )
+    # Row-parallel weight shards its input dim; its scale is replicated.
+    qt = sharded.params["decoder"]["blocks"]["fc2_w"]
+    assert qt.q.sharding.spec == P(None, "model", None)
+    assert qt.s.sharding.spec in (P(), P(None, None, None))
+
+    rng = np.random.default_rng(0)
+    mel = rng.normal(0, 0.5, (2, dims.n_mels, 3000)).astype(np.float32)
+    want = plain.transcribe_chunks(mel, prompt=[3], max_new_tokens=4,
+                                   eot_id=2)
+    got = sharded.transcribe_chunks(mel, prompt=[3], max_new_tokens=4,
+                                    eot_id=2)
+    np.testing.assert_array_equal(got, want)

@@ -193,6 +193,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         raise SystemExit("--vad-filter is supported in chunked long-form "
                          "mode (timestamps from other modes would be in "
                          "condensed time)")
+    if args.temperatures and (args.initial_prompt or args.num_beams > 1
+                              or args.word_timestamps or args.timestamps
+                              or args.write_srt or args.write_vtt):
+        # The fallback ladder decodes greedy/sampled without prompts,
+        # beams, or timing output; silently dropping those flags would
+        # mislabel the run (review r3).
+        raise SystemExit("--temperatures does not compose with "
+                         "--initial-prompt/--num-beams/--timestamps/"
+                         "--word-timestamps/--write-srt/--write-vtt")
 
     if (args.write_srt or args.write_vtt) and not (
         args.word_timestamps or args.longform_mode == "sequential"
@@ -261,8 +270,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
     if args.tensor_parallel > 0:
         cfg = dataclasses.replace(cfg, tensor_parallel=args.tensor_parallel)
-    elif args.chunk_parallelism > 0:
+    if args.chunk_parallelism > 0 and args.max_batch <= 0:
         # Reference semantics: cap on concurrently-processed chunks.
+        # Independent of the TP flag (it maps to max_batch); an explicit
+        # --max-batch outranks it.
         b = 1
         while b < args.chunk_parallelism and b < 64:
             b <<= 1
@@ -308,10 +319,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     # buckets every file in this run will hit, so no compile lands inside
     # the measured loop (chunk counts follow from durations, which the
     # audio loader gives us cheaply relative to a compile).
+    def _vad_condense(audio):
+        """Apply the same VAD the measured loop applies — warmup must
+        compile the buckets of the CONDENSED durations, not the original
+        ones, or the first measured file pays a multi-minute compile."""
+        if not args.vad_filter:
+            return audio
+        from whisper_tpu.audio.vad import (
+            VadOptions,
+            collect_chunks,
+            detect_speech,
+        )
+
+        spans = detect_speech(
+            audio, VadOptions(threshold_db=args.vad_threshold_db))
+        return collect_chunks(audio, spans)[0]
+
     if args.warmup > 0:
         audios = {}
         a0, sr0, _ = load_audio_16k_mono(os.path.join(args.audio_dir, files[0]))
         assert sr0 == 16_000
+        a0 = _vad_condense(a0)
         audios[files[0]] = a0
 
         if args.longform_mode == "pipelined":
@@ -347,13 +375,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             from whisper_tpu.pipeline.warmup import warm_buckets
 
+            durs = [
+                (len(_vad_condense(load_audio_16k_mono(
+                    os.path.join(args.audio_dir, f))[0])) / 16000.0
+                 if args.vad_filter else
+                 load_audio_16k_mono(os.path.join(args.audio_dir, f))[2])
+                if f not in audios else len(audios[f]) / 16000.0
+                for f in files
+            ]
             warm_buckets(
                 session,
-                durations_s=[
-                    load_audio_16k_mono(os.path.join(args.audio_dir, f))[2]
-                    if f not in audios else len(audios[f]) / 16000.0
-                    for f in files
-                ],
+                durations_s=[d for d in durs if d > 0],
                 language=args.language, task=args.task,
                 max_new_tokens=args.max_new_tokens,
                 chunk_length_s=args.chunk_length_s, overlap_s=args.overlap_s,
@@ -363,6 +395,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 initial_prompt_ids=initial_prompt_ids,
             )
             for _ in range(args.warmup):
+                if len(a0) == 0:     # vad condensed it to nothing
+                    break
                 transcribe_longform(
                     session, a0, args.language, args.task,
                     args.max_new_tokens, args.chunk_length_s, args.overlap_s,
@@ -407,7 +441,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 audio, VadOptions(threshold_db=args.vad_threshold_db))
             audio, smap = collect_chunks(audio, spans)
         pre_mel = None
-        if with_mel and args.longform_mode == "chunked" and len(audio):
+        # The fallback ladder computes its own mel — prefetching one here
+        # would upload + STFT every file twice.
+        if (with_mel and args.longform_mode == "chunked" and len(audio)
+                and not args.temperatures):
             from whisper_tpu.frontend import golden as _g
             from whisper_tpu.pipeline.chunk import mel_frame_bucket as _mfb
 
@@ -426,119 +463,124 @@ def main(argv: Optional[List[str]] = None) -> int:
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()
 
-    for idx, fnm in enumerate(files):
-        tl0 = time.perf_counter()
+    try:
+        for idx, fnm in enumerate(files):
+            tl0 = time.perf_counter()
+            if executor is not None:
+                audio, sr, dur, pre_mel, smap = next_future.result()
+            else:
+                audio, sr, dur, pre_mel, smap = _load(fnm)
+            load_s = time.perf_counter() - tl0
+            assert sr == 16_000
+            if executor is not None and idx + 1 < len(files):
+                next_future = executor.submit(_load, files[idx + 1], True)
+
+            words = None
+            segments = None
+            if args.vad_filter and len(audio) == 0:
+                # All silence: nothing to transcribe (faster-whisper emits no
+                # segments either).  Falls through to the normal row/transcript
+                # writers so every input still gets its output files (empty).
+                from whisper_tpu.utils.timing import Timing as _Timing
+
+                words = [] if args.word_timestamps else None
+                text, t = "", _Timing(0.0, 0.0, 0.0, 0.0)
+            elif args.longform_mode == "pipelined":
+                from whisper_tpu.pipeline.pipelined import (
+                    transcribe_longform_pipelined,
+                )
+
+                words = [] if args.word_timestamps else None
+                text, t = transcribe_longform_pipelined(
+                    session, audio, args.language, args.task,
+                    args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                    tokenizer, args.timestamps, gen_cfg, args.num_beams,
+                    args.length_penalty, slab_chunks=args.slab_chunks,
+                    word_collector=words,
+                    initial_prompt_ids=initial_prompt_ids,
+                )
+            elif args.longform_mode == "sequential":
+                from whisper_tpu.pipeline.sequential import transcribe_sequential
+
+                words = [] if args.word_timestamps else None
+                text, segments, t = transcribe_sequential(
+                    session, audio, args.language, args.task,
+                    args.max_new_tokens, tokenizer, gen_cfg,
+                    condition_on_prev_text=args.condition_on_prev_text,
+                    initial_prompt_ids=initial_prompt_ids,
+                    num_beams=args.num_beams,
+                    length_penalty=args.length_penalty,
+                    word_collector=words,
+                )
+            elif args.temperatures:
+                from whisper_tpu.pipeline.fallback import (
+                    transcribe_longform_fallback,
+                )
+
+                temps = tuple(float(x) for x in args.temperatures.split(","))
+                text, t, _info = transcribe_longform_fallback(
+                    session, audio, args.language, args.task,
+                    args.max_new_tokens, args.chunk_length_s, args.overlap_s,
+                    tokenizer, gen_cfg, temperatures=temps,
+                )
+            else:
+                words = [] if args.word_timestamps else None
+                text, t = transcribe_longform(
+                    session, audio, args.language, args.task, args.max_new_tokens,
+                    args.chunk_length_s, args.overlap_s, tokenizer,
+                    args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
+                    precomputed_mel=pre_mel,
+                    word_collector=words,
+                    initial_prompt_ids=initial_prompt_ids,
+                )
+
+            if smap is not None and words:
+                # Map condensed-signal times back to original file time
+                # (faster-whisper's restore_speech_timestamps).
+                for w in words:
+                    w["start"] = round(smap.restore_time(w["start"]), 3)
+                    w["end"] = round(smap.restore_time(w["end"]), 3)
+
+            e2e = load_s + t.end_to_end_s
+            rtf = e2e / max(dur, 1e-9)
+            rows.append(RowOut.make(fnm, dur, e2e, rtf, text, words=words))
+            load_l.append(load_s)
+            pre_l.append(t.preprocess_s)
+            model_l.append(t.model_only_s)
+            dec_l.append(t.decode_s)
+            end2end.append(e2e)
+            rtf_l.append(rtf)
+
+            if args.write_txt:
+                stem = Path(fnm).stem
+                with open(os.path.join(txt_dir, f"{stem}.transcript.txt"), "w") as f:
+                    f.write(text.strip() + "\n")
+
+            if args.write_srt or args.write_vtt:
+                from whisper_tpu.bench.subtitles import (
+                    cues_from_segments,
+                    cues_from_words,
+                    write_subtitles,
+                )
+
+                # Word timings are the finer source; sequential segments
+                # otherwise (flag validation guaranteed one exists).
+                cues = (cues_from_words(words) if words
+                        else cues_from_segments(segments or []))
+                stem = Path(fnm).stem
+                if args.write_srt:
+                    write_subtitles(os.path.join(txt_dir, f"{stem}.srt"), cues)
+                if args.write_vtt:
+                    write_subtitles(os.path.join(txt_dir, f"{stem}.vtt"), cues)
+
+    finally:
+        # Finalize the trace / stop the prefetcher even when a
+        # file fails mid-loop (the trace matters MOST then).
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         if executor is not None:
-            audio, sr, dur, pre_mel, smap = next_future.result()
-        else:
-            audio, sr, dur, pre_mel, smap = _load(fnm)
-        load_s = time.perf_counter() - tl0
-        assert sr == 16_000
-        if executor is not None and idx + 1 < len(files):
-            next_future = executor.submit(_load, files[idx + 1], True)
+            executor.shutdown(wait=False)
 
-        words = None
-        segments = None
-        if args.vad_filter and len(audio) == 0:
-            # All silence: nothing to transcribe (faster-whisper emits no
-            # segments either).  Falls through to the normal row/transcript
-            # writers so every input still gets its output files (empty).
-            from whisper_tpu.utils.timing import Timing as _Timing
-
-            words = [] if args.word_timestamps else None
-            text, t = "", _Timing(0.0, 0.0, 0.0, 0.0)
-        elif args.longform_mode == "pipelined":
-            from whisper_tpu.pipeline.pipelined import (
-                transcribe_longform_pipelined,
-            )
-
-            words = [] if args.word_timestamps else None
-            text, t = transcribe_longform_pipelined(
-                session, audio, args.language, args.task,
-                args.max_new_tokens, args.chunk_length_s, args.overlap_s,
-                tokenizer, args.timestamps, gen_cfg, args.num_beams,
-                args.length_penalty, slab_chunks=args.slab_chunks,
-                word_collector=words,
-                initial_prompt_ids=initial_prompt_ids,
-            )
-        elif args.longform_mode == "sequential":
-            from whisper_tpu.pipeline.sequential import transcribe_sequential
-
-            words = [] if args.word_timestamps else None
-            text, segments, t = transcribe_sequential(
-                session, audio, args.language, args.task,
-                args.max_new_tokens, tokenizer, gen_cfg,
-                condition_on_prev_text=args.condition_on_prev_text,
-                initial_prompt_ids=initial_prompt_ids,
-                num_beams=args.num_beams,
-                length_penalty=args.length_penalty,
-                word_collector=words,
-            )
-        elif args.temperatures:
-            from whisper_tpu.pipeline.fallback import (
-                transcribe_longform_fallback,
-            )
-
-            temps = tuple(float(x) for x in args.temperatures.split(","))
-            text, t, _info = transcribe_longform_fallback(
-                session, audio, args.language, args.task,
-                args.max_new_tokens, args.chunk_length_s, args.overlap_s,
-                tokenizer, gen_cfg, temperatures=temps,
-            )
-        else:
-            words = [] if args.word_timestamps else None
-            text, t = transcribe_longform(
-                session, audio, args.language, args.task, args.max_new_tokens,
-                args.chunk_length_s, args.overlap_s, tokenizer,
-                args.timestamps, gen_cfg, args.num_beams, args.length_penalty,
-                precomputed_mel=pre_mel,
-                word_collector=words,
-                initial_prompt_ids=initial_prompt_ids,
-            )
-
-        if smap is not None and words:
-            # Map condensed-signal times back to original file time
-            # (faster-whisper's restore_speech_timestamps).
-            for w in words:
-                w["start"] = round(smap.restore_time(w["start"]), 3)
-                w["end"] = round(smap.restore_time(w["end"]), 3)
-
-        e2e = load_s + t.end_to_end_s
-        rtf = e2e / max(dur, 1e-9)
-        rows.append(RowOut.make(fnm, dur, e2e, rtf, text, words=words))
-        load_l.append(load_s)
-        pre_l.append(t.preprocess_s)
-        model_l.append(t.model_only_s)
-        dec_l.append(t.decode_s)
-        end2end.append(e2e)
-        rtf_l.append(rtf)
-
-        if args.write_txt:
-            stem = Path(fnm).stem
-            with open(os.path.join(txt_dir, f"{stem}.transcript.txt"), "w") as f:
-                f.write(text.strip() + "\n")
-
-        if args.write_srt or args.write_vtt:
-            from whisper_tpu.bench.subtitles import (
-                cues_from_segments,
-                cues_from_words,
-                write_subtitles,
-            )
-
-            # Word timings are the finer source; sequential segments
-            # otherwise (flag validation guaranteed one exists).
-            cues = (cues_from_words(words) if words
-                    else cues_from_segments(segments or []))
-            stem = Path(fnm).stem
-            if args.write_srt:
-                write_subtitles(os.path.join(txt_dir, f"{stem}.srt"), cues)
-            if args.write_vtt:
-                write_subtitles(os.path.join(txt_dir, f"{stem}.vtt"), cues)
-
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
-    if executor is not None:
-        executor.shutdown(wait=False)
 
     write_per_file_csv(rows, args.out_csv)
     write_per_file_json(rows, args.out_json)

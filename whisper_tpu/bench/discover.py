@@ -35,13 +35,18 @@ def _synthetic_audio(seconds: float) -> np.ndarray:
 def sweep(params, dims, audio, variants: List[str], max_batches: List[int],
           max_new_tokens: int, runs: int, verbose=print) -> List[dict]:
     from whisper_tpu.pipeline.longform import transcribe_longform
-    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+    from whisper_tpu.runtime.session import WhisperSession, suggested_cfg
     from whisper_tpu.variants.ladder import apply_variant
 
     results = []
     for variant in variants:
         for mb in max_batches:
-            cfg, _ = apply_variant(RuntimeCfg(max_batch=mb), variant)
+            # Start from suggested_cfg, not a bare RuntimeCfg: the bare
+            # default pins intra_op=0 into the written "best" config and
+            # a consumer via --discovery-best-json then silently loses
+            # the host prefetch pipelining (cli.py needs intra_op >= 2).
+            base = dataclasses.replace(suggested_cfg(), max_batch=mb)
+            cfg, _ = apply_variant(base, variant)
             session = WhisperSession(params, dims, cfg)
             transcribe_longform(session, audio, "en", "transcribe",
                                 max_new_tokens)  # warm/compile

@@ -77,7 +77,15 @@ _TP_RULES: Dict[str, P] = {
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a param pytree: block weights follow the TP
     rules over 'model'; everything else (convs, embeddings, norms) is
-    replicated."""
+    replicated.
+
+    Shape-aware: a rule axis is dropped on any dim the leaf cannot
+    actually shard (size 1 or not divisible by the axis).  In particular
+    int8 QTensor leaves carry a per-output-channel scale of shape
+    [L, 1, out]; the row-parallel rules (o_w/xo_w/fc2_w: shard dim 1)
+    would otherwise be prefix-applied to that size-1 dim and crash
+    device_put (--variant x4/x5/x7/int8 + --tensor-parallel)."""
+    axis_size = mesh.shape[MODEL_AXIS]
 
     def spec_for(path: str) -> P:
         leaf = path.rsplit("/", 1)[-1]
@@ -85,18 +93,42 @@ def param_shardings(params, mesh: Mesh):
             return _TP_RULES[leaf]
         return P()
 
+    def fit(spec: P, shape) -> P:
+        names = list(spec) + [None] * (len(shape) - len(spec))
+        fitted = [
+            (n if n is None or (shape[d] > 1 and shape[d] % axis_size == 0)
+             else None)
+            for d, n in enumerate(names[: len(shape)])
+        ]
+        while fitted and fitted[-1] is None:   # P(None,..) == P() semantics
+            fitted.pop()
+        return P(*fitted)
+
     def walk(node, prefix=""):
         if isinstance(node, dict):
             return {k: walk(v, f"{prefix}/{k}") for k, v in node.items()}
-        return NamedSharding(mesh, spec_for(prefix))
+        spec = spec_for(prefix)
+        if hasattr(node, "q") and hasattr(node, "s"):   # QTensor
+            return type(node)(
+                q=NamedSharding(mesh, fit(spec, node.q.shape)),
+                s=NamedSharding(mesh, fit(spec, node.s.shape)),
+            )
+        shape = getattr(node, "shape", ())
+        return NamedSharding(mesh, fit(spec, shape))
 
     return walk(params)
 
 
-def init_distributed(coordinator: str, num_processes: int, process_id: int) -> None:
-    """Multi-host init over DCN (no reference counterpart — SURVEY.md §5.8)."""
+def init_distributed(coordinator: str, num_processes: int = 0,
+                     process_id: int = -1) -> None:
+    """Multi-host init over DCN (no reference counterpart — SURVEY.md §5.8).
+
+    The CLI's sentinel defaults (0 / -1 = "not given") map to None so
+    jax.distributed.initialize auto-detects from the TPU environment;
+    forwarding them verbatim is invalid and would fail any launch that
+    passed only --dcn-coordinator."""
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
+        num_processes=num_processes if num_processes > 0 else None,
+        process_id=process_id if process_id >= 0 else None,
     )

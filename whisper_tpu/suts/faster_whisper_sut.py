@@ -48,7 +48,8 @@ def main(argv=None) -> int:
     state = (model, args.num_beams, args.language, args.task)
     return harness.run_benchmark(
         args, {"engine": "faster-whisper",
-               "compute_type": args.compute_type},
+               "compute_type": args.compute_type,
+               "num_beams": args.num_beams},
         _transcribe, state,
         sut_name=f"faster_whisper_{args.compute_type}",
     )

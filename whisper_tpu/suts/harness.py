@@ -31,7 +31,10 @@ from whisper_tpu.bench.writers import (
 )
 from whisper_tpu.utils.stats import stat_block
 
-AUDIO_EXTS = {".wav", ".flac", ".mp3"}
+from whisper_tpu.bench.cli import AUDIO_EXTS  # single source of truth:
+# the SUT runners and the TPU bench must scan the SAME file set from one
+# --audio-dir or summary rows stop being comparable.
+
 SKIP_RC = 3  # "engine dependency missing" — runners report and move on
 
 
@@ -65,11 +68,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def list_audio(audio_dir: str, limit: int) -> List[Path]:
-    files = sorted(
-        e for e in Path(audio_dir).iterdir()
-        if e.is_file() and e.suffix.lower() in AUDIO_EXTS
-    )
-    return files[:limit] if limit > 0 else files
+    from whisper_tpu.bench.cli import list_audio_files
+
+    return [Path(audio_dir) / n for n in list_audio_files(audio_dir, limit)]
 
 
 def run_benchmark(

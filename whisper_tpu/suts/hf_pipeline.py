@@ -60,7 +60,7 @@ def _build_random_init(model_id: str):
 def _transcribe_random_init(state, audio) -> harness.SutResult:
     import torch
 
-    model, fe, max_new = state
+    model, fe, max_new, num_beams = state
     vocab = model.config.vocab_size
     prompt = [min(t, vocab - 1) for t in (SOT, EN, TRANSCRIBE, NOTS)]
     eot = min(EOT, vocab - 1)
@@ -77,7 +77,7 @@ def _transcribe_random_init(state, audio) -> harness.SutResult:
         out = model.generate(
             feats,
             decoder_input_ids=torch.tensor([prompt] * feats.shape[0]),
-            max_new_tokens=max_new, do_sample=False, num_beams=1,
+            max_new_tokens=max_new, do_sample=False, num_beams=num_beams,
         )
     model_s = time.perf_counter() - t0
 
@@ -91,10 +91,11 @@ def _transcribe_random_init(state, audio) -> harness.SutResult:
 
 
 def _transcribe_pipeline(state, audio) -> harness.SutResult:
-    pipe = state
+    pipe, generate_kwargs = state
     t0 = time.perf_counter()
     # Coarse timing, like the reference (benchmark_with_hf_pipeline.py:134).
-    result = pipe({"array": audio, "sampling_rate": 16_000})
+    result = pipe({"array": audio, "sampling_rate": 16_000},
+                  generate_kwargs=generate_kwargs or None)
     model_s = time.perf_counter() - t0
     return harness.SutResult(result["text"].strip(), 0.0, model_s, 0.0)
 
@@ -109,10 +110,11 @@ def main(argv=None) -> int:
         return harness.missing_dependency("torch/transformers", e, args)
 
     config_used = {"engine": "transformers-torch-cpu",
-                   "threads": __import__("torch").get_num_threads()}
+                   "threads": __import__("torch").get_num_threads(),
+                   "num_beams": args.num_beams}
     if args.allow_random_init:
         model, fe = _build_random_init(args.model_id)
-        state = (model, fe, args.max_new_tokens)
+        state = (model, fe, args.max_new_tokens, args.num_beams)
         return harness.run_benchmark(
             args, config_used, _transcribe_random_init, state,
             sut_name="hf_pipeline(random-init)",
@@ -123,7 +125,8 @@ def main(argv=None) -> int:
         chunk_length_s=30, stride_length_s=(1, 1),
     )
     return harness.run_benchmark(
-        args, config_used, _transcribe_pipeline, pipe,
+        args, config_used, _transcribe_pipeline,
+        (pipe, {"num_beams": args.num_beams} if args.num_beams > 1 else {}),
         sut_name="hf_pipeline",
     )
 

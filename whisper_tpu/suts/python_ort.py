@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     state = (processor, model, args.max_new_tokens, args.language,
              args.task, args.num_beams)
     return harness.run_benchmark(
-        args, {"engine": "onnxruntime-python"}, _transcribe, state,
+        args, {"engine": "onnxruntime-python", "num_beams": args.num_beams},
+        _transcribe, state,
         sut_name="without_hf_pipeline_py",
     )
 
