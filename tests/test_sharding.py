@@ -63,8 +63,8 @@ def test_param_shardings_rules():
     params = init_params(dims)
     sh = param_shardings(params, mesh)
     assert sh["encoder"]["blocks"]["q_w"].spec == P(None, None, "model")
-    assert sh["encoder"]["blocks"]["o_w"].spec == P(None, "model", None)
-    assert sh["decoder"]["blocks"]["fc2_w"].spec == P(None, "model", None)
+    assert sh["encoder"]["blocks"]["o_w"].spec == P(None, "model")
+    assert sh["decoder"]["blocks"]["fc2_w"].spec == P(None, "model")
     assert sh["decoder"]["tok_emb"].spec == P()
     assert sh["encoder"]["conv1_w"].spec == P()
 
@@ -447,7 +447,7 @@ def test_int8_weights_tensor_parallel_shards():
     )
     # Row-parallel weight shards its input dim; its scale is replicated.
     qt = sharded.params["decoder"]["blocks"]["fc2_w"]
-    assert qt.q.sharding.spec == P(None, "model", None)
+    assert qt.q.sharding.spec == P(None, "model")
     assert qt.s.sharding.spec in (P(), P(None, None, None))
 
     rng = np.random.default_rng(0)
