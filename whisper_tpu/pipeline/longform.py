@@ -65,6 +65,7 @@ def transcribe_longform(
     precomputed_mel: Optional[Tuple] = None,
     word_collector: Optional[list] = None,
     initial_prompt_ids: Optional[list] = None,
+    language_collector: Optional[list] = None,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
     (stitched text, Timing).
@@ -138,6 +139,10 @@ def transcribe_longform(
         detected = detect_language(session, mel0, special.sot, lang_ids)
         if detected is not None:
             prompt[1] = detected[1]
+            if language_collector is not None:
+                # Surface the detected code (e.g. the HTTP verbose_json
+                # `language` field must report the detection, not "auto").
+                language_collector.append(detected[0])
 
     starts = chunk_starts(len(audio_16k), chunk_len, step)
     frame_starts = [pos // golden.HOP for pos in starts]

@@ -101,6 +101,11 @@ class StreamingEngine:
         """Enqueue one utterance (float32 @16 kHz mono); resolves to the
         transcript string."""
         fut: Future = Future()
+        if not self._running:
+            # A request enqueued behind close()'s shutdown sentinel would
+            # never be drained and its future would hang forever.
+            fut.set_exception(RuntimeError("engine is closed"))
+            return fut
         audio = np.asarray(audio_16k, dtype=np.float32)
         if audio.size == 0:
             # Reference behavior: empty audio is an error (src/main.rs:414-416).
@@ -270,6 +275,10 @@ class StreamingEngine:
         bucket = 1
         while bucket < n and bucket < self.session.cfg.max_batch:
             bucket <<= 1
+        # Non-power-of-two max_batch (settable via discovery JSON): the
+        # doubling can overshoot the cap — clamp like session._bucket_batch
+        # or the tick dispatches a bucket warmup never compiled.
+        bucket = min(bucket, self.session.cfg.max_batch)
         pad_len = self._short_limit + 2 * 200
         ship_len = (self._ship_len(max(len(r.audio) for r in reqs) + 2 * 200)
                     if self.cfg.trim_upload else pad_len)

@@ -184,20 +184,25 @@ class TranscriptionService:
         if (task == cfg.task and language in ("", cfg.language)
                 and prompt_ids is None):
             return self.engine.transcribe(audio)
-        text, _ = self._direct(audio, language or cfg.language, task,
-                               collect_words=False, prompt_ids=prompt_ids)
+        text, _, _ = self._direct(audio, language or cfg.language, task,
+                                  collect_words=False,
+                                  prompt_ids=prompt_ids)
         return text
 
-    def transcribe_verbose(self, audio: np.ndarray, language: str,
-                           task: str, prompt_ids=None) -> Tuple[str, List[dict]]:
-        """Returns (text, words) where words are {word,start,end} dicts in
-        absolute file time (cross-attention DTW, pipeline/words.py)."""
+    def transcribe_verbose(
+        self, audio: np.ndarray, language: str, task: str, prompt_ids=None,
+    ) -> Tuple[str, List[dict], Optional[str]]:
+        """Returns (text, words, detected_language) where words are
+        {word,start,end} dicts in absolute file time (cross-attention DTW,
+        pipeline/words.py) and detected_language is the first-window
+        detection when language was "auto" (else None)."""
         return self._direct(audio, language or self.engine.cfg.language,
                             task, collect_words=True, prompt_ids=prompt_ids)
 
     def _direct(self, audio, language, task, collect_words, prompt_ids=None):
         cfg = self.engine.cfg
         words: List[dict] = []
+        langs: List[str] = []
         with self._direct_lock:
             text, _ = transcribe_longform(
                 self.engine.session, audio, language, task,
@@ -205,8 +210,9 @@ class TranscriptionService:
                 self.engine.tokenizer, False, self.engine.gen_cfg,
                 word_collector=words if collect_words else None,
                 initial_prompt_ids=prompt_ids,
+                language_collector=langs,
             )
-        return text, words
+        return text, words, langs[0] if langs else None
 
     def transcribe_streaming(self, audio: np.ndarray, language: str,
                              task: str, emit, prompt_ids=None) -> str:
@@ -299,10 +305,10 @@ class TranscriptionService:
             return "application/json", json.dumps({"text": text})
 
         if audio.size == 0:          # vad found no speech: empty envelope
-            text, words = "", []
+            text, words, detected = "", [], None
         else:
-            text, words = self.transcribe_verbose(audio, language, task,
-                                                  prompt_ids)
+            text, words, detected = self.transcribe_verbose(
+                audio, language, task, prompt_ids)
         if smap is not None:
             for w in words:
                 w["start"] = smap.restore_time(w["start"])
@@ -323,7 +329,11 @@ class TranscriptionService:
                          + fields.get("timestamp_granularities", [])]
         out = {
             "task": "translate" if task == "translate" else "transcribe",
-            "language": language or self.engine.cfg.language,
+            # verbose_json reports the DETECTED language for "auto"
+            # requests (OpenAI contract), not the literal request value.
+            "language": (detected if language == "auto" and detected
+                         else language if language != "auto" and language
+                         else self.engine.cfg.language),
             "duration": round(duration, 3),
             "text": text,
             "segments": [
@@ -438,6 +448,16 @@ class _Handler(BaseHTTPRequestHandler):
         language = fields.get("language", [""])[0].strip()
         prompt_ids = self.service.prompt_ids(
             fields.get("prompt", [""])[0].strip())
+        if float(fields.get("temperature", ["0"])[0].strip() or 0.0) > 0.0:
+            # The streaming lane decodes greedily; pretending to sample
+            # would be the same lie the timing formats reject.
+            raise HttpError(400, "temperature sampling is not supported "
+                                 "with stream=true")
+        smap = None
+        if fields.get("vad_filter", [""])[0].strip().lower() in ("1", "true"):
+            from whisper_tpu.audio.vad import collect_chunks, detect_speech
+
+            audio, smap = collect_chunks(audio, detect_speech(audio))
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -469,6 +489,10 @@ class _Handler(BaseHTTPRequestHandler):
 
         _threading.Thread(target=run, daemon=True).start()
 
+        def t(x: float) -> float:
+            # VAD: delta times are restored to ORIGINAL file time.
+            return round(smap.restore_time(x) if smap is not None else x, 3)
+
         sent_any = False
         try:
             while True:
@@ -477,8 +501,8 @@ class _Handler(BaseHTTPRequestHandler):
                     sent_any = True
                     write_event({"type": "transcript.text.delta",
                                  "delta": payload["text"],
-                                 "start": round(payload["start"], 3),
-                                 "end": round(payload["end"], 3)})
+                                 "start": t(payload["start"]),
+                                 "end": t(payload["end"])})
                 elif kind == "done":
                     if not sent_any and payload.strip():
                         # No timestamped segments (e.g. no-timestamp
@@ -493,8 +517,11 @@ class _Handler(BaseHTTPRequestHandler):
                                  "error": f"{type(payload).__name__}: "
                                           f"{payload}"})
                     break
-        except BrokenPipeError:
-            pass  # worker keeps draining the queue and exits on its own
+        except OSError:
+            # BrokenPipe/ConnectionReset/...: the client is gone.  Headers
+            # were already sent, so no second HTTP response may be written
+            # — swallow here (the worker drains the queue and exits).
+            pass
         finally:
             self.close_connection = True
 

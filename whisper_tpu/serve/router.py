@@ -76,9 +76,14 @@ class Backend:
         if self.consecutive_errors >= self.unhealthy_after:
             self.benched_until = time.monotonic() + self.cooldown_s
 
-    async def forward(self, line: bytes) -> bytes:
+    async def forward(self, line: bytes, record_health: bool = True) -> bytes:
         """One request -> one response line (connection per request keeps
-        failure isolation simple; the engine batches across connections)."""
+        failure isolation simple; the engine batches across connections).
+
+        record_health=False for OBSERVABILITY traffic (the stats fan-out):
+        a lightweight stats poll succeeding must not un-bench a backend
+        that keeps failing real transcriptions, nor count toward benching.
+        """
         self.inflight += 1
         try:
             reader, writer = await asyncio.open_connection(
@@ -90,7 +95,8 @@ class Backend:
                 resp = await reader.readline()
                 if not resp:
                     raise ConnectionError(f"backend {self.name} closed")
-                self._record_success()
+                if record_health:
+                    self._record_success()
                 return resp
             finally:
                 writer.close()
@@ -99,7 +105,8 @@ class Backend:
                 except Exception:
                     pass
         except Exception:
-            self._record_failure()
+            if record_health:
+                self._record_failure()
             raise
         finally:
             self.inflight -= 1
@@ -160,15 +167,18 @@ class Router:
                 self._slot_free.notify_all()
 
     async def stats(self, req_id) -> bytes:
+        line = json.dumps({"id": req_id, "stats": True}).encode() + b"\n"
+        # Concurrent fan-out; stats traffic does not touch health state.
+        results = await asyncio.gather(
+            *(b.forward(line, record_health=False) for b in self.backends),
+            return_exceptions=True,
+        )
         per = {}
-        for b in self.backends:
-            try:
-                resp = json.loads(await b.forward(
-                    json.dumps({"id": req_id, "stats": True}).encode() + b"\n"
-                ))
-                per[b.name] = resp.get("stats", {})
-            except Exception as e:
-                per[b.name] = {"error": str(e)}
+        for b, resp in zip(self.backends, results):
+            if isinstance(resp, BaseException):
+                per[b.name] = {"error": str(resp)}
+            else:
+                per[b.name] = json.loads(resp).get("stats", {})
             per[b.name]["healthy"] = b.healthy
             per[b.name]["router_inflight"] = b.inflight
             per[b.name]["router_errors"] = b.errors

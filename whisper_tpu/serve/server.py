@@ -60,10 +60,14 @@ async def handle_client(engine: StreamingEngine, reader, writer) -> None:
                     ) + "\n").encode())
                     await writer.drain()
                     continue
-                audio = _decode_audio(msg)
+                # Decode off the event loop: base64 of a 2 h request +
+                # resample can block for seconds, stalling every other
+                # connection's readline/write and blowing the engine's
+                # ms-scale coalescing window.
+                audio = await loop.run_in_executor(None, _decode_audio, msg)
                 t0 = time.perf_counter()
                 fut = engine.submit(audio)
-                text = await _to_asyncio(fut, loop)
+                text = await asyncio.wrap_future(fut)
                 resp = {
                     "id": msg.get("id"),
                     "text": text,
@@ -82,19 +86,6 @@ async def handle_client(engine: StreamingEngine, reader, writer) -> None:
             await writer.wait_closed()
         except Exception:
             pass
-
-
-def _to_asyncio(fut, loop):
-    afut = loop.create_future()
-
-    def done(f):
-        try:
-            loop.call_soon_threadsafe(afut.set_result, f.result())
-        except Exception as e:
-            loop.call_soon_threadsafe(afut.set_exception, e)
-
-    fut.add_done_callback(done)
-    return afut
 
 
 # One JSON line carries base64 PCM: ~171 KB/s of audio. asyncio's default

@@ -9,19 +9,26 @@ compile/precision configurations over one weight set:
   x0   fp32, HIGHEST matmul precision — strict token-parity reference
   x1   fp32, HIGH precision           — fp32 storage, faster MXU passes
   x2   bf16                           — standard TPU serving precision
-  x3   bf16 + fused Pallas front end  — log-mel fused into one kernel
-  x4   bf16 + int8 weights            — per-channel weight quantization
+  x3   bf16 + fused Pallas kernels    — fused log-mel front end, fused
+                                        encoder attention, and the fused
+                                        encoder-MLP kernel (promoted r3)
+  x4   x3 + int8 weights + int8 KV    — per-channel weight quantization
                                         (MatMul-only scope, matching
-                                        quantize_onnx_int8.py:37-42)
-
+                                        quantize_onnx_int8.py:37-42) plus
+                                        int8 cross-KV cache with the
+                                        head-packed decode kernels
   x5   x4 + int8 MXU attention       — quantized q + 7-bit probs run both
                                         decode attention dots as int8xint8
                                         MXU matmuls (the dequantize leaves
                                         the VPU; docs/DECODE_ROOFLINE.md)
-  x6   x5 + W8A8 encoder             — dynamic per-row activation int8 so
-                                        every encoder block matmul is an
-                                        int8xint8 MXU dot (2x bf16 peak);
-                                        the compute-bound half of the model
+  x6   x5 + W8A8 encoder QKV/O       — dynamic per-row activation int8 MXU
+                                        dots (measured: no gain at
+                                        base/medium; MLP half stays on the
+                                        faster fused bf16 kernel)
+  x7   x5 + int8 SELF cache          — honest negative: exact token
+                                        agreement with x5 but measured
+                                        slower (overhead-bound step);
+                                        kept opt-in
 
 `int8` is accepted as an alias of x4 to mirror the reference's naming.
 Each variant can be materialized as a model-dir with a metadata.json
