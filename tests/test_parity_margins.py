@@ -96,3 +96,37 @@ def test_divergences_are_tie_flips_at_base_dims(base, variant):
     # x0's median top1-top2 margin should dwarf nothing — just record it
     # is positive (sanity that margins are being computed).
     assert diag.median_x0_margin > 0.0
+
+
+def test_late_stop_divergence_detected(monkeypatch):
+    """A variant that keeps decoding PAST x0's EOT must register a
+    divergence (review r3: the loop over c0 ended without checking the
+    position where x0 predicted EOT)."""
+    from whisper_tpu.variants import diagnose
+
+    V, P = 8, 2
+    EOT = 7
+
+    def fake_logits(session, mel, seq):
+        n = len(seq)
+        lg = np.full((n, V), -5.0, dtype=np.float32)
+        for i in range(n):
+            lg[i, EOT if i >= P + 1 else 3] = 5.0
+        if session != "x0":
+            # Teacher-forced fields nearly identical (tiny Δlogit) while
+            # the variant's DECODE kept going past EOT: genuine drift,
+            # not a tie-flip (margin >> 2Δ and vmargin >> kernel eps).
+            lg = lg + 0.01
+        return lg
+
+    monkeypatch.setattr(diagnose, "teacher_forced_logits", fake_logits)
+    diag = diagnose.divergence_report(
+        "xv", "x0", "var", None, None, prompt=[0, 1],
+        x0_rounds=[[3, 3]],            # x0: two tokens then EOT
+        var_rounds=[[3, 3, 4, 4]],     # variant keeps going
+        eot_id=EOT,
+    )
+    assert len(diag.divergences) == 1
+    d = diag.divergences[0]
+    assert d.x0_token == EOT and d.var_token == 4 and d.step == 2
+    assert not d.tie_flip          # 10.0 margin is genuine drift

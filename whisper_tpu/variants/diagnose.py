@@ -174,6 +174,27 @@ def divergence_report(
                 break  # past the first divergence the trajectories differ
             if i >= len(cv):
                 break
+        else:
+            # No divergence inside c0 — but a variant that keeps decoding
+            # PAST x0's stop is drifting too: position p-1+len(c0) is
+            # where x0 predicted EOT (the last teacher-forced row), and
+            # the variant emitted cv[len(c0)] there instead.
+            if (eot_id is not None and len(cv) > len(c0)
+                    and (not divs or divs[-1].round_idx != r)):
+                row0 = lg0[p - 1 + len(c0)]
+                rowv = lgv[p - 1 + len(c0)]
+                ok = np.isfinite(row0)
+                d_step = float(np.max(np.abs(rowv[ok] - row0[ok])))
+                tokv = int(cv[len(c0)])
+                margin = float(row0[eot_id] - row0[tokv])
+                vmargin = float(rowv[eot_id] - rowv[tokv])
+                divs.append(StepDiag(
+                    round_idx=r, step=len(c0), x0_token=int(eot_id),
+                    var_token=tokv, x0_margin=margin,
+                    var_margin=vmargin, max_dlogit_step=d_step,
+                    tie_flip=(margin <= 2.0 * d_step + 1e-6
+                              or vmargin <= KERNEL_EPS),
+                ))
         sup.update(c0)
     return VariantDiag(
         name=name,
