@@ -66,8 +66,35 @@ def _probe_weights() -> None:
         print(f"[weights-probe] failed: {e}", file=sys.stderr)
 
 
+def _tunnel_watchdog(timeout_s: float = 900.0) -> None:
+    """Fail loudly if the device link is wedged instead of hanging for
+    the driver's whole timeout (CLAUDE.md: a SIGTERM'd client can wedge
+    the axon tunnel for hours; a blocked client sits pre-compile in a
+    futex wait).  Runs a tiny matmul on a daemon thread; no result
+    within `timeout_s` => exit 3 with NO JSON line (an explicit zero
+    would parse as a real — catastrophic — headline number)."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"[bench] TPU tunnel unresponsive after {timeout_s:.0f}s "
+              "(wedged? see CLAUDE.md recovery notes) — aborting without "
+              "a result line", file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def main() -> None:
     _probe_weights()
+    _tunnel_watchdog()
     from whisper_tpu.utils.compilecache import enable_compilation_cache
 
     enable_compilation_cache()  # warmup reuses prior runs' executables
