@@ -563,3 +563,40 @@ class TestTrimmedUpload:
         finally:
             session.transcribe_short_batch_async = orig
             eng.close()
+
+
+class TestEngineLifecycle:
+    def test_submit_after_close_fails_fast(self, session):
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3))
+        eng.close()
+        fut = eng.submit(_audio(1.0))
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=5)
+
+    def test_tick_bucket_clamped_to_non_pow2_max_batch(self, session,
+                                                      monkeypatch):
+        """max_batch=3 (settable via discovery JSON): 3 coalesced requests
+        must dispatch bucket 3, not overshoot to 4."""
+        import dataclasses
+
+        monkeypatch.setattr(
+            session, "cfg", dataclasses.replace(session.cfg, max_batch=3))
+        eng = StreamingEngine(
+            session, cfg=EngineConfig(max_new_tokens=3, batch_window_ms=50))
+        shapes = []
+        orig = session.transcribe_short_batch_async
+
+        def spy(audio, *a, **k):
+            shapes.append(audio.shape)
+            return orig(audio, *a, **k)
+
+        try:
+            session.transcribe_short_batch_async = spy
+            futs = [eng.submit(_audio(1.0, seed=i)) for i in range(3)]
+            for f in futs:
+                f.result(timeout=300)
+            assert shapes and all(s[0] <= 3 for s in shapes)
+        finally:
+            session.transcribe_short_batch_async = orig
+            eng.close()
