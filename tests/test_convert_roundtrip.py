@@ -72,6 +72,15 @@ class TestConverterCli:
         assert rc == 0
         params, dims2 = convert.load_params(str(out))
         assert dims2 == dims
+        # Value-exactness through the disk roundtrip, not just shapes:
+        # numpy 2.x np.stack over transposed views yields non-contiguous
+        # arrays and safetensors 0.8.0 silently permutes those on save —
+        # save_params must make leaves contiguous.
+        want = convert.params_from_hf_state_dict(model.state_dict(), dims)
+        got_fc1 = np.asarray(params["encoder"]["blocks"]["fc1_w"])
+        np.testing.assert_array_equal(got_fc1, np.asarray(want["encoder"]["blocks"]["fc1_w"]))
+        got_q = np.asarray(params["decoder"]["blocks"]["q_w"])
+        np.testing.assert_array_equal(got_q, np.asarray(want["decoder"]["blocks"]["q_w"]))
         assert os.path.isfile(out / "tokenizer.json")
         cfgj = json.load(open(out / "config.json"))
         assert cfgj["model_id"] == "test/turbo-like"

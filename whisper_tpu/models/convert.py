@@ -246,7 +246,12 @@ def save_params(params: Dict, dims: WhisperDims, model_dir: str,
     from safetensors.numpy import save_file
 
     os.makedirs(model_dir, exist_ok=True)
-    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    # ascontiguousarray is load-bearing: np.stack over transposed views
+    # (lin_w in params_from_hf_state_dict) returns a NON-contiguous array
+    # on numpy 2.x, and safetensors 0.8.0 silently serializes the raw
+    # buffer of a non-contiguous array — load(save(x)) != x, same shape,
+    # permuted values (caught by tests/test_real_weights_path.py).
+    flat = {k: np.ascontiguousarray(v) for k, v in _flatten(params).items()}
     save_file(flat, os.path.join(model_dir, PARAMS_FILE))
     cfg = {"whisper_tpu_dims": dims.to_dict()}
     if extra_config:
