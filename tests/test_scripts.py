@@ -35,6 +35,7 @@ def test_runner_script_end_to_end(tmp_path):
         "CORE_COUNT": "1",
         "MEMORY_GB": "1",
         "PYTHONPATH": REPO,
+        "WHISPER_TPU_PLATFORM": "cpu",
     })
     r = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "run_tpu_benchmarks.sh")],
@@ -84,6 +85,7 @@ def test_runner_with_resource_caps(tmp_path):
         "CPUSET": "0",
         "MEMORY_CAP_GB": "64",
         "PYTHONPATH": REPO,
+        "WHISPER_TPU_PLATFORM": "cpu",
     })
     r = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "run_tpu_benchmarks.sh")],
@@ -125,6 +127,7 @@ def test_runner_with_comparison_suts(tmp_path):
         "MEMORY_GB": "1",
         "COMPARISON_SUTS": "auto",
         "PYTHONPATH": REPO,
+        "WHISPER_TPU_PLATFORM": "cpu",
     })
     r = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "run_tpu_benchmarks.sh")],

@@ -17,3 +17,19 @@ KrArunT/whisper-rust-ort with a TPU-first architecture:
 """
 
 __version__ = "0.1.0"
+
+# Subprocess platform pin.  The environment's TPU plugin re-exports
+# JAX_PLATFORMS=axon during `import jax`, so a child process cannot select
+# the CPU backend through JAX_PLATFORMS alone (it hangs connecting to the
+# tunnel when the device link is down).  jax.config.update AFTER import is
+# authoritative (same trick as tests/conftest.py) — honor an explicit
+# WHISPER_TPU_PLATFORM env so CLI subprocesses (bench, serve, scripts) can
+# run TPU-free:  WHISPER_TPU_PLATFORM=cpu python -m whisper_tpu.bench ...
+import os as _os
+
+_plat = _os.environ.get("WHISPER_TPU_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat
