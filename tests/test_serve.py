@@ -497,6 +497,36 @@ class TestRouterHealth:
         finally:
             stop()
 
+    def test_runtime_register_deregister(self):
+        """Multi-host composition: the router starts EMPTY and backends
+        announce themselves via the {'register': {...}} control line (the
+        transport behind serve.server --register-with); deregistered
+        backends stop receiving traffic."""
+        bport = _free_port()
+        ready = threading.Event()
+        self._echo_backend(bport, ready)
+        assert ready.wait(10)
+
+        rport, stop = self._start_router([])
+        try:
+            r = self._ask(rport, {"id": "c", "register":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert r["registered"] == f"127.0.0.1:{bport}"
+            assert r["n_backends"] == 1
+            # idempotent re-register
+            r2 = self._ask(rport, {"id": "c2", "register":
+                                   {"host": "127.0.0.1", "port": bport}})
+            assert r2["n_backends"] == 1
+
+            resp = self._ask(rport, {"id": "q"})
+            assert resp.get("via") == bport
+
+            r3 = self._ask(rport, {"id": "c3", "deregister":
+                                   {"host": "127.0.0.1", "port": bport}})
+            assert r3["deregistered"] and r3["n_backends"] == 0
+        finally:
+            stop()
+
 
 class TestTrimmedUpload:
     """Trimmed serving uploads: a tick ships only its longest utterance's

@@ -117,10 +117,49 @@ class Router:
                  max_inflight: int = DEFAULT_MAX_INFLIGHT,
                  unhealthy_after: int = DEFAULT_UNHEALTHY_AFTER,
                  cooldown_s: float = DEFAULT_COOLDOWN_S):
+        self.unhealthy_after = unhealthy_after
+        self.cooldown_s = cooldown_s
         self.backends = [Backend(h, p, unhealthy_after, cooldown_s)
                          for h, p in backends]
         self.max_inflight = max_inflight
         self._slot_free = asyncio.Condition()
+
+    def register(self, host: str, port: int) -> Backend:
+        """Add a backend at runtime (idempotent by host:port) — the
+        multi-host composition path: each host's server dials the router
+        with --register-with instead of the operator enumerating
+        --backends up front (ROADMAP §9)."""
+        name = f"{host}:{port}"
+        for b in self.backends:
+            if b.name == name:
+                return b
+        b = Backend(host, port, self.unhealthy_after, self.cooldown_s)
+        self.backends.append(b)
+        return b
+
+    def deregister(self, host: str, port: int) -> bool:
+        name = f"{host}:{port}"
+        kept = [b for b in self.backends if b.name != name]
+        removed = len(kept) != len(self.backends)
+        self.backends = kept
+        return removed
+
+    def control(self, msg: dict) -> bytes:
+        """{"register"|"deregister": {"host","port"}} control line."""
+        req_id = msg.get("id")
+        if "register" in msg:
+            spec = msg["register"]
+            b = self.register(spec.get("host", "127.0.0.1"),
+                              int(spec["port"]))
+            out = {"id": req_id, "registered": b.name,
+                   "n_backends": len(self.backends)}
+        else:
+            spec = msg["deregister"]
+            ok = self.deregister(spec.get("host", "127.0.0.1"),
+                                 int(spec["port"]))
+            out = {"id": req_id, "deregistered": ok,
+                   "n_backends": len(self.backends)}
+        return (json.dumps(out) + "\n").encode()
 
     def _pick_now(self, exclude: Optional[Backend] = None) -> Optional[Backend]:
         """Least-outstanding healthy backend with a free slot, or None."""
@@ -181,6 +220,7 @@ class Router:
                 per[b.name] = json.loads(resp).get("stats", {})
             per[b.name]["healthy"] = b.healthy
             per[b.name]["router_inflight"] = b.inflight
+            per[b.name]["router_served"] = b.served
             per[b.name]["router_errors"] = b.errors
         merged: dict = {}
         for s in per.values():
@@ -200,7 +240,11 @@ class Router:
                 try:
                     msg = json.loads(line)
                     req_id = msg.get("id") if isinstance(msg, dict) else None
-                    if isinstance(msg, dict) and msg.get("stats"):
+                    if isinstance(msg, dict) and (
+                        "register" in msg or "deregister" in msg
+                    ):
+                        resp = self.control(msg)
+                    elif isinstance(msg, dict) and msg.get("stats"):
                         resp = await self.stats(req_id)
                     else:
                         resp = await self._forward(line)
@@ -236,15 +280,21 @@ async def serve_router(backends: List[Tuple[str, int]], host: str,
 def parse_backends(spec: str) -> List[Tuple[str, int]]:
     out = []
     for part in spec.split(","):
-        host, _, port = part.strip().rpartition(":")
+        part = part.strip()
+        if not part:
+            continue
+        host, _, port = part.rpartition(":")
         out.append((host or "127.0.0.1", int(port)))
     return out
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--backends", required=True,
-                   help="comma list of host:port transcription servers")
+    p.add_argument("--backends", default="",
+                   help="comma list of host:port transcription servers; "
+                        "may be empty — servers can self-register at "
+                        "runtime via --register-with / a {'register': "
+                        "{'host','port'}} control line")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--max-inflight", type=int, default=DEFAULT_MAX_INFLIGHT,

@@ -171,11 +171,47 @@ def build_engine(args) -> StreamingEngine:
     return engine
 
 
+def register_backend(router_addr: str, host: str, port: int,
+                     retries: int = 20, delay_s: float = 0.5) -> dict:
+    """Dial a serve.router and self-register this server as a backend
+    (multi-host composition: each host announces itself instead of the
+    operator enumerating --backends). Retries while the router boots."""
+    import socket
+    import time as _time
+
+    rhost, _, rport = router_addr.rpartition(":")
+    rhost = rhost or "127.0.0.1"
+    line = (json.dumps({"id": "reg", "register":
+                        {"host": host, "port": port}}) + "\n").encode()
+    last: Exception = RuntimeError("unreachable")
+    for _ in range(retries):
+        try:
+            with socket.create_connection((rhost, int(rport)), timeout=5) as s:
+                s.sendall(line)
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+            resp = json.loads(buf)
+            if "registered" in resp:
+                return resp
+            last = RuntimeError(f"router refused registration: {resp}")
+        except OSError as e:
+            last = e
+        _time.sleep(delay_s)
+    raise last
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--register-with", default="",
+                   help="host:port of a serve.router to self-register "
+                        "with once this server is listening")
     args = p.parse_args(argv)
 
     from whisper_tpu.utils.compilecache import enable_compilation_cache
@@ -185,9 +221,19 @@ def main(argv=None) -> int:
     session = engine.session
     print(f"Compiling serving program (max_batch={session.cfg.max_batch})...")
     engine.warmup()
-    print(f"Serving on {args.host}:{args.port}")
+
+    class _Ready:
+        def set(self):  # called once the listener is bound
+            if args.register_with:
+                resp = register_backend(args.register_with, args.host,
+                                        args.port)
+                print(f"Registered with router {args.register_with}: "
+                      f"{resp}", flush=True)
+            print(f"Serving on {args.host}:{args.port}", flush=True)
+
     try:
-        asyncio.run(serve(engine, args.host, args.port))
+        asyncio.run(serve(engine, args.host, args.port,
+                          ready_event=_Ready()))
     except KeyboardInterrupt:
         pass
     finally:
