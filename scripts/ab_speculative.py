@@ -1,0 +1,127 @@
+"""A/B batched speculative decoding vs plain greedy on the real TPU
+(VERDICT r3 item 5): batch-B chunk decoding at whisper-large-v3 dims with
+a distil-large-v3-shaped drafter (2-layer decoder sharing encoder dims).
+
+Random weights give the two honest endpoints real weights sit between:
+- drafter == verifier ("self"): perfect acceptance — exercises the
+  verify-pass machinery at its best case (but draft steps cost full-model
+  steps, so wall time is not the win; tokens/round is).
+- independent random distil drafter ("distil"): ~zero acceptance — the
+  per-round overhead floor.
+
+From the measured greedy ms/token and speculative ms/round the script
+prints the BREAKEVEN acceptance rate: real distil-large-v3 drafts hit
+~70-90% token acceptance on speech, so speculative wins whenever
+breakeven < that. Token chains are checked equal to greedy (losslessness).
+
+Usage: python scripts/ab_speculative.py [--batch 16] [--max-new 32]
+       [--model-id openai/whisper-large-v3]
+       [--draft-model-id distil-whisper/distil-large-v3] [--k 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.tpu_timing import device_time  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--model-id", default="openai/whisper-large-v3")
+    ap.add_argument("--draft-model-id",
+                    default="distil-whisper/distil-large-v3")
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.models import whisper
+    from whisper_tpu.models.convert import cast_params, init_params
+    from whisper_tpu.models.registry import get_dims
+    from whisper_tpu.runtime.generate import (
+        build_suppress_mask,
+        greedy_generate,
+    )
+    from whisper_tpu.runtime.speculative import speculative_generate
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dims = get_dims(args.model_id)
+    d_dims = get_dims(args.draft_model_id)
+    assert d_dims.d_model == dims.d_model, "draft must share encoder width"
+    params = cast_params(init_params(dims, seed=0), dt)
+    d_params = cast_params(init_params(d_dims, seed=1), dt)
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.normal(0, 1, (args.batch, dims.n_mels, 3000)), dt)
+    prompt = jnp.asarray([50258, 50259, 50359, 50363], jnp.int32)
+    eot = 50257
+    mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+
+    enc = jax.jit(lambda p, m: whisper.encoder_apply(p, dims, m))(params, mel)
+    enc_d = jax.jit(lambda p, m: whisper.encoder_apply(p, d_dims, m))(
+        d_params, mel)
+    jax.block_until_ready((enc, enc_d))
+
+    g_fn = jax.jit(lambda p, e: greedy_generate(
+        p, dims, e, prompt, mask, mask,
+        max_new_tokens=args.max_new, eot_id=eot))
+    t0 = time.perf_counter()
+    g_toks = np.asarray(g_fn(params, enc))
+    print(f"greedy: compile+first {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t_g = device_time(g_fn, (params, enc))
+    ms_tok_g = t_g * 1e3 / args.max_new
+    print(f"greedy: {t_g*1e3:.2f} ms/program, {ms_tok_g:.3f} ms/token "
+          f"(B={args.batch}, {args.max_new} steps)", flush=True)
+
+    results = {}
+    for label, dp, dd, ed in (("self", params, dims, enc),
+                              ("distil", d_params, d_dims, enc_d)):
+        s_fn = jax.jit(lambda p, dpp, e, edd: speculative_generate(
+            p, dims, dpp, dd, e, edd, prompt, mask, mask,
+            max_new_tokens=args.max_new, eot_id=eot, draft_k=args.k))
+        t0 = time.perf_counter()
+        toks, rounds, n = jax.block_until_ready(s_fn(params, dp, enc, ed))
+        print(f"spec[{label}]: compile+first {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        toks = np.asarray(toks)
+        diff = int((toks != g_toks).sum())
+        t_s = device_time(s_fn, (params, dp, enc, ed))
+        rounds = int(rounds)
+        committed = int(np.asarray(n).sum())
+        tpr = committed / max(rounds, 1) / args.batch
+        ms_tok = t_s * 1e3 / args.max_new
+        t_round = t_s / max(rounds, 1)
+        print(f"spec[{label}]: {t_s*1e3:.2f} ms/program, "
+              f"{ms_tok:.3f} ms/token, {rounds} rounds, "
+              f"{tpr:.2f} tokens/round/row, lossless={'YES' if diff == 0 else f'NO ({diff} diffs)'}",
+              flush=True)
+        results[label] = (t_round, rounds)
+
+    # Breakeven acceptance: per-round cost from the distil run (cheap
+    # drafter), tokens/round = 1 + alpha*k -> alpha* solves
+    # t_round/(1+alpha*k) = t_g/max_new.
+    t_round = results["distil"][0]
+    per_tok_g = t_g / args.max_new
+    alpha_star = (t_round / per_tok_g - 1.0) / args.k
+    print(f"breakeven acceptance (k={args.k}): alpha* = {alpha_star:.2f} "
+          f"(real distil drafts measure ~0.7-0.9 on speech)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,6 +94,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build random-weight params from --model-id when the "
                         "model dir has no params.safetensors (benchmarking "
                         "without converted weights)")
+    p.add_argument("--draft-dir", default="",
+                   help="model dir of a draft model (e.g. a distil decoder) "
+                        "— enables lossless batched speculative decoding of "
+                        "the chunked long-form path (token-identical to "
+                        "greedy; runtime/speculative.py)")
+    p.add_argument("--draft-model-id", default="",
+                   help="registry id for a random-init draft model "
+                        "(random weights draft ~nothing useful; for shape/"
+                        "perf exploration)")
+    p.add_argument("--draft-k", type=int, default=4,
+                   help="draft tokens proposed per verify round")
     p.add_argument("--temperatures", default="",
                    help="comma list (e.g. '0,0.2,0.4,0.6,0.8,1') enabling "
                         "openai-whisper-style temperature-fallback decoding")
@@ -301,6 +312,24 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     session = _build_session(args, cfg)
 
+    speculative = bool(args.draft_dir or args.draft_model_id)
+    if speculative:
+        if (args.longform_mode != "chunked" or args.num_beams > 1
+                or args.timestamps or args.word_timestamps
+                or args.temperatures):
+            raise SystemExit(
+                "--draft-dir/--draft-model-id (speculative decoding) "
+                "composes with the plain greedy chunked mode only")
+        from whisper_tpu.models import convert as _convert
+        from whisper_tpu.models.registry import get_dims as _get_dims
+
+        if args.draft_dir:
+            d_params, d_dims = _convert.load_params(args.draft_dir)
+        else:
+            d_dims = _get_dims(args.draft_model_id)
+            d_params = _convert.init_params(d_dims, seed=1)
+        session.set_draft_model(d_params, d_dims)
+
     files = list_audio_files(args.audio_dir, args.limit_files)
     if not files:
         raise SystemExit(f"No audio files found in {args.audio_dir}")
@@ -393,6 +422,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 gen_cfg=gen_cfg,
                 num_beams=args.num_beams, length_penalty=args.length_penalty,
                 initial_prompt_ids=initial_prompt_ids,
+                speculative=speculative, draft_k=args.draft_k,
             )
             for _ in range(args.warmup):
                 if len(a0) == 0:     # vad condensed it to nothing
@@ -403,6 +433,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     tokenizer, args.timestamps, gen_cfg, args.num_beams,
                     args.length_penalty,
                     initial_prompt_ids=initial_prompt_ids,
+                    speculative=speculative, draft_k=args.draft_k,
                 )
 
     rows: List[RowOut] = []
@@ -532,6 +563,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     precomputed_mel=pre_mel,
                     word_collector=words,
                     initial_prompt_ids=initial_prompt_ids,
+                    speculative=speculative, draft_k=args.draft_k,
                 )
 
             if smap is not None and words:

@@ -66,6 +66,8 @@ def transcribe_longform(
     word_collector: Optional[list] = None,
     initial_prompt_ids: Optional[list] = None,
     language_collector: Optional[list] = None,
+    speculative: bool = False,
+    draft_k: int = 4,
 ) -> Tuple[str, Timing]:
     """Transcribe one (already 16 kHz mono) audio array. Returns
     (stitched text, Timing).
@@ -160,6 +162,8 @@ def transcribe_longform(
         num_beams=num_beams,
         length_penalty=length_penalty,
         ts_cfg=ts_cfg,
+        speculative=speculative,
+        draft_k=draft_k,
     )
     model_only_s = time.perf_counter() - tm0
 

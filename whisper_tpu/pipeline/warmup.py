@@ -64,6 +64,8 @@ def warm_buckets(
     num_beams: int = 1,
     length_penalty: float = 1.0,
     initial_prompt_ids=None,
+    speculative: bool = False,
+    draft_k: int = 4,
 ) -> int:
     """Transcribe synthetic zero audio once per distinct compile shape.
 
@@ -82,5 +84,6 @@ def warm_buckets(
             chunk_length_s, overlap_s, tokenizer, timestamps, gen_cfg,
             num_beams, length_penalty,
             initial_prompt_ids=initial_prompt_ids,
+            speculative=speculative, draft_k=draft_k,
         )
     return len(durs)

@@ -690,6 +690,53 @@ class WhisperSession:
                 self._fns[key] = jax.jit(run)
         return self._fns[key]
 
+    def _get_mel_spec_fn(self, n_frames: int, batch: int, prompt_len: int,
+                         max_new: int, eot_id: int, draft_k: int):
+        """Speculative sibling of _get_mel_fn: device mel slab + frame
+        starts -> tokens via draft-and-verify over the CHUNK BATCH (the
+        path that produces every headline number — VERDICT r3 item 5;
+        acceptance lengths diverge per row, handled by per-row cache
+        positions in runtime.speculative). Token-lossless vs greedy.
+
+        Separate code object from _get_mel_fn's `run` on purpose: two jit'd
+        closures sharing __code__ with different arg counts trip the jit
+        dispatch cache (see run_conditioned note above)."""
+        key = ("mel-spec", n_frames, batch, prompt_len, max_new, eot_id,
+               draft_k)
+        if key not in self._fns:
+            dims, precision = self.dims, self.cfg.precision
+            fused_attn = self.cfg.fused_attention
+            _, draft_dims = self._draft
+            from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
+            from whisper_tpu.runtime.speculative import speculative_generate
+
+            def run_spec(params, dparams, mel, starts, prompt, suppress,
+                         first_suppress):
+                mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
+                chunks = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        mel_pad, (0, s), (dims.n_mels, CHUNK_FRAMES)
+                    )
+                )(starts)
+                enc = whisper.encoder_apply(params, dims, chunks,
+                                            precision=precision,
+                                            fused_attention=fused_attn,
+                                            int8_activations=self._enc_i8,
+                                            fused_mlp=self.cfg.fused_encoder_mlp,
+                                            fused_block=self.cfg.fused_encoder_block)
+                enc_d = whisper.encoder_apply(dparams, draft_dims, chunks,
+                                              precision=precision)
+                tokens, _, _ = speculative_generate(
+                    params, dims, dparams, draft_dims, enc, enc_d,
+                    prompt, suppress, first_suppress,
+                    max_new_tokens=max_new, eot_id=eot_id,
+                    draft_k=draft_k, precision=precision,
+                )
+                return tokens
+
+            self._fns[key] = jax.jit(run_spec)
+        return self._fns[key]
+
     def transcribe_from_mel(
         self,
         mel: jax.Array,                  # [n_mels, F] device array
@@ -707,6 +754,8 @@ class WhisperSession:
         with_scores: bool = False,
         pad_count: int | None = None,
         chunk_norm_n_valid: int | None = None,
+        speculative: bool = False,
+        draft_k: int = 4,
     ):
         """Transcribe chunks sliced (on device) from a whole-file mel.
 
@@ -734,7 +783,7 @@ class WhisperSession:
             mel, frame_starts, prompt, max_new_tokens, eot_id,
             suppress_ids, begin_suppress_ids, num_beams, length_penalty,
             ts_cfg, temperature, seed, with_scores, pad_count,
-            chunk_norm_n_valid,
+            chunk_norm_n_valid, speculative=speculative, draft_k=draft_k,
         )
         return self.gather_tokens(pieces, len(frame_starts),
                                   max_new_tokens, with_scores)
@@ -756,6 +805,8 @@ class WhisperSession:
         with_scores: bool = False,
         pad_count: int | None = None,
         chunk_norm_n_valid: int | None = None,
+        speculative: bool = False,
+        draft_k: int = 4,
     ):
         """Dispatch-only half of transcribe_from_mel: enqueues the decode
         program(s) and returns [(device_result, start, n), ...] WITHOUT
@@ -766,6 +817,16 @@ class WhisperSession:
         if chunk_norm_n_valid is not None and pad_count is not None:
             raise ValueError("chunk_norm and conditioned prompts are "
                              "mutually exclusive")
+        if speculative:
+            if not self.has_draft:
+                raise RuntimeError(
+                    "speculative=True requires set_draft_model first")
+            if (num_beams > 1 or ts_cfg is not None or temperature > 0.0
+                    or with_scores or pad_count is not None
+                    or chunk_norm_n_valid is not None):
+                raise ValueError(
+                    "speculative long-form composes with plain greedy only "
+                    "(no beams/timestamps/temperature/scores/conditioning)")
         c = len(frame_starts)
         n_frames = mel.shape[1]
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
@@ -781,6 +842,16 @@ class WhisperSession:
             starts = np.full(bucket, n_frames, dtype=np.int32)
             starts[:n] = np.asarray(frame_starts[start : start + n],
                                     dtype=np.int32)
+            if speculative:
+                dparams, _ = self._draft
+                fn = self._get_mel_spec_fn(n_frames, bucket, len(prompt),
+                                           max_new_tokens, eot_id, draft_k)
+                pieces.append((fn(self.params, dparams, mel,
+                                  self._put_batch(jnp.asarray(starts)),
+                                  prompt_arr, base_mask, first_mask),
+                               start, n))
+                start += n
+                continue
             fn = self._get_mel_fn(n_frames, bucket, len(prompt),
                                   max_new_tokens, eot_id, num_beams,
                                   length_penalty, ts_cfg, temperature,
