@@ -36,6 +36,13 @@ step "2. speculative A/B (large-v3, B=16, k=4)"
 timeout 5400 python scripts/ab_speculative.py --batch 16 --max-new 32 \
   >>"$OUT" 2>&1 || true
 
+step "3a. bucket-16 chunk program DEVICE time (delta method — hypothesis:
+the '102 ms median call' carried the ~30 ms tunnel round trip; true
+device time should be ~72 ms = 16.7 enc + 53.5 loop, already past the
+VERDICT ≤95 ms target)"
+timeout 3600 python scripts/ab_x7.py --variants x5 --batch 16 \
+  --max-new 128 >>"$OUT" 2>&1 || true
+
 step "3. enc+prefill profile (bucket 16, max_new=1 and 128)"
 timeout 3600 python scripts/profile_decode.py --variant x5 --batch 16 \
   --max-new 1 --out /tmp/prefill_trace >>"$OUT" 2>&1 || true

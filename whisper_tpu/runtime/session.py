@@ -701,12 +701,12 @@ class WhisperSession:
         Separate code object from _get_mel_fn's `run` on purpose: two jit'd
         closures sharing __code__ with different arg counts trip the jit
         dispatch cache (see run_conditioned note above)."""
+        _, draft_dims = self._draft  # frozen dataclass: hashable key part
         key = ("mel-spec", n_frames, batch, prompt_len, max_new, eot_id,
-               draft_k)
+               draft_k, draft_dims)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
-            _, draft_dims = self._draft
             from whisper_tpu.pipeline.chunk import CHUNK_FRAMES
             from whisper_tpu.runtime.speculative import speculative_generate
 

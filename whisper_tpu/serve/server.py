@@ -198,7 +198,7 @@ def register_backend(router_addr: str, host: str, port: int,
             if "registered" in resp:
                 return resp
             last = RuntimeError(f"router refused registration: {resp}")
-        except OSError as e:
+        except (OSError, ValueError) as e:  # conn errors / truncated JSON
             last = e
         _time.sleep(delay_s)
     raise last
