@@ -7,6 +7,6 @@ cd "$(dirname "$0")"
 python -m whisper_tpu.serve.http_server \
     ${MODEL_DIR:+--model-dir "$MODEL_DIR"} \
     --model-id "${MODEL_ID:-openai/whisper-base}" \
-    ${MODEL_DIR:+ } ${ALLOW_RANDOM_INIT:+--allow-random-init} \
+    ${ALLOW_RANDOM_INIT:+--allow-random-init} \
     --variant "${VARIANT:-x4}" \
     --port "${PORT:-8000}" "$@"
