@@ -251,3 +251,27 @@ class TestChunkedLongformSpeculative:
         with pytest.raises(ValueError, match="plain greedy"):
             sess.transcribe_from_mel(mel, [0], [3], 4, 2, speculative=True,
                                      num_beams=2)
+
+    def test_pipelined_text_matches_greedy(self):
+        """Pipelined mode (per-chunk norm, the headline-mode candidate)
+        composes with speculation: same text as pipelined greedy."""
+        from whisper_tpu.pipeline.pipelined import (
+            transcribe_longform_pipelined,
+        )
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(8)
+        audio = rng.normal(0, 0.1, int(16000 * 65)).astype(np.float32)
+
+        sess = WhisperSession(params, dims,
+                              RuntimeCfg(dtype="float32", max_batch=4))
+        want, _ = transcribe_longform_pipelined(
+            sess, audio, language="en", task="transcribe", max_new_tokens=5)
+
+        sess.set_draft_model(init_params(dims, seed=99), dims)
+        got, _ = transcribe_longform_pipelined(
+            sess, audio, language="en", task="transcribe", max_new_tokens=5,
+            speculative=True, draft_k=3)
+        assert got == want

@@ -314,12 +314,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     speculative = bool(args.draft_dir or args.draft_model_id)
     if speculative:
-        if (args.longform_mode != "chunked" or args.num_beams > 1
+        if (args.longform_mode not in ("chunked", "pipelined")
+                or args.num_beams > 1
                 or args.timestamps or args.word_timestamps
                 or args.temperatures):
             raise SystemExit(
                 "--draft-dir/--draft-model-id (speculative decoding) "
-                "composes with the plain greedy chunked mode only")
+                "composes with plain greedy chunked/pipelined modes only")
         from whisper_tpu.models import convert as _convert
         from whisper_tpu.models.registry import get_dims as _get_dims
 
@@ -389,6 +390,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     tokenizer, args.timestamps, gen_cfg, args.num_beams,
                     args.length_penalty, slab_chunks=args.slab_chunks,
                     initial_prompt_ids=initial_prompt_ids,
+                    speculative=speculative, draft_k=args.draft_k,
                 )
 
             seen_durs = {round(len(a0) / 16000.0, 3)}
@@ -529,6 +531,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     args.length_penalty, slab_chunks=args.slab_chunks,
                     word_collector=words,
                     initial_prompt_ids=initial_prompt_ids,
+                    speculative=speculative, draft_k=args.draft_k,
                 )
             elif args.longform_mode == "sequential":
                 from whisper_tpu.pipeline.sequential import transcribe_sequential

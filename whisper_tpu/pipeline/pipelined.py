@@ -85,6 +85,8 @@ def transcribe_longform_pipelined(
     slab_chunks: int = 4,
     word_collector: Optional[list] = None,
     initial_prompt_ids: Optional[list] = None,
+    speculative: bool = False,
+    draft_k: int = 4,
 ) -> Tuple[str, Timing]:
     """Pipelined long-form transcription; same surface as
     pipeline.longform.transcribe_longform minus precomputed_mel (the
@@ -182,6 +184,8 @@ def transcribe_longform_pipelined(
             length_penalty=length_penalty,
             ts_cfg=ts_cfg,
             chunk_norm_n_valid=n_valid,
+            speculative=speculative,
+            draft_k=draft_k,
         ))
 
     # --- sync: fetch tokens in slab order --------------------------------

@@ -691,7 +691,8 @@ class WhisperSession:
         return self._fns[key]
 
     def _get_mel_spec_fn(self, n_frames: int, batch: int, prompt_len: int,
-                         max_new: int, eot_id: int, draft_k: int):
+                         max_new: int, eot_id: int, draft_k: int,
+                         chunk_norm: bool = False):
         """Speculative sibling of _get_mel_fn: device mel slab + frame
         starts -> tokens via draft-and-verify over the CHUNK BATCH (the
         path that produces every headline number — VERDICT r3 item 5;
@@ -703,7 +704,7 @@ class WhisperSession:
         dispatch cache (see run_conditioned note above)."""
         _, draft_dims = self._draft  # frozen dataclass: hashable key part
         key = ("mel-spec", n_frames, batch, prompt_len, max_new, eot_id,
-               draft_k, draft_dims)
+               draft_k, draft_dims, chunk_norm)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
@@ -711,13 +712,26 @@ class WhisperSession:
             from whisper_tpu.runtime.speculative import speculative_generate
 
             def run_spec(params, dparams, mel, starts, prompt, suppress,
-                         first_suppress):
+                         first_suppress, n_valid=None):
                 mel_pad = jnp.pad(mel, ((0, 0), (0, CHUNK_FRAMES)))
                 chunks = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(
                         mel_pad, (0, s), (dims.n_mels, CHUNK_FRAMES)
                     )
                 )(starts)
+                if chunk_norm:
+                    # Per-chunk masked max-normalization (the pipelined
+                    # mode's HF-pipeline semantics — same math as
+                    # _get_mel_fn's chunk_norm branch).
+                    frame_ix = starts[:, None] + jnp.arange(CHUNK_FRAMES)
+                    valid = (frame_ix < n_valid)[:, None, :]
+                    vmax = jnp.max(
+                        jnp.where(valid, chunks, -jnp.inf),
+                        axis=(1, 2), keepdims=True,
+                    )
+                    chunks = jnp.maximum(chunks, vmax - 8.0)
+                    chunks = (chunks + 4.0) / 4.0
+                    chunks = jnp.where(valid, chunks, 0.0)
                 enc = whisper.encoder_apply(params, dims, chunks,
                                             precision=precision,
                                             fused_attention=fused_attn,
@@ -822,8 +836,7 @@ class WhisperSession:
                 raise RuntimeError(
                     "speculative=True requires set_draft_model first")
             if (num_beams > 1 or ts_cfg is not None or temperature > 0.0
-                    or with_scores or pad_count is not None
-                    or chunk_norm_n_valid is not None):
+                    or with_scores or pad_count is not None):
                 raise ValueError(
                     "speculative long-form composes with plain greedy only "
                     "(no beams/timestamps/temperature/scores/conditioning)")
@@ -844,11 +857,14 @@ class WhisperSession:
                                     dtype=np.int32)
             if speculative:
                 dparams, _ = self._draft
-                fn = self._get_mel_spec_fn(n_frames, bucket, len(prompt),
-                                           max_new_tokens, eot_id, draft_k)
+                fn = self._get_mel_spec_fn(
+                    n_frames, bucket, len(prompt), max_new_tokens, eot_id,
+                    draft_k, chunk_norm=chunk_norm_n_valid is not None)
+                kw = ({"n_valid": jnp.int32(chunk_norm_n_valid)}
+                      if chunk_norm_n_valid is not None else {})
                 pieces.append((fn(self.params, dparams, mel,
                                   self._put_batch(jnp.asarray(starts)),
-                                  prompt_arr, base_mask, first_mask),
+                                  prompt_arr, base_mask, first_mask, **kw),
                                start, n))
                 start += n
                 continue
