@@ -275,3 +275,34 @@ class TestChunkedLongformSpeculative:
             sess, audio, language="en", task="transcribe", max_new_tokens=5,
             speculative=True, draft_k=3)
         assert got == want
+
+    def test_engine_long_lane_speculative_same_text(self):
+        """The serving engine's long-form lane takes the speculative
+        program when a draft is attached — text identical to the plain
+        engine's."""
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.serve.engine import EngineConfig, StreamingEngine
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(9)
+        audio = rng.normal(0, 0.1, int(16000 * 40)).astype(np.float32)
+
+        sess = WhisperSession(params, dims,
+                              RuntimeCfg(dtype="float32", max_batch=2))
+        eng = StreamingEngine(sess, cfg=EngineConfig(max_new_tokens=4))
+        try:
+            want = eng.submit(audio).result(timeout=600)
+        finally:
+            eng.close()
+
+        sess2 = WhisperSession(params, dims,
+                               RuntimeCfg(dtype="float32", max_batch=2))
+        sess2.set_draft_model(init_params(dims, seed=99), dims)
+        eng2 = StreamingEngine(sess2, cfg=EngineConfig(max_new_tokens=4))
+        try:
+            got = eng2.submit(audio).result(timeout=600)
+            assert eng2.stats["longform"] == 1
+        finally:
+            eng2.close()
+        assert got == want

@@ -249,11 +249,16 @@ class StreamingEngine:
                 break
             try:
                 self.stats["longform"] += 1
+                # With a draft attached (and no timestamp grammar), the
+                # long lane's chunk batch takes the speculative program
+                # too — same lever as the short lane.
+                spec = self.session.has_draft and not self.cfg.timestamps
                 text, _ = transcribe_longform(
                     self.session, req.audio, self.cfg.language,
                     self.cfg.task, self.cfg.max_new_tokens,
                     self.cfg.chunk_length_s, self.cfg.overlap_s,
                     self.tokenizer, self.cfg.timestamps, self.gen_cfg,
+                    speculative=spec,
                 )
                 req.future.set_result(text)
             except Exception as e:
