@@ -18,7 +18,15 @@ set -u
 OUT=${1:-/tmp/tpu_round4.log}
 cd "$(dirname "$0")/.."
 
-step() { echo "=== $1 ($(date)) ===" | tee -a "$OUT"; }
+step() {
+  # A stop-file halts the queue between steps (so a driver bench run never
+  # measures against queue contention on the device FIFO).
+  if [ -f /tmp/queue_stop ]; then
+    echo "=== queue_stop present — halting before: $1 ===" | tee -a "$OUT"
+    exit 0
+  fi
+  echo "=== $1 ($(date)) ===" | tee -a "$OUT"
+}
 
 step "0. tunnel health"
 if ! timeout 300 python -c "
@@ -53,6 +61,12 @@ step "4. model scaling sweep (x5)"
 timeout 7200 python scripts/model_scaling_bench.py \
   --models base,small,medium,large-v3,large-v3-turbo --reps 3 \
   >>"$OUT" 2>&1 || true
+
+step "4b. W8A8 (x6) at large dims (negative at base/medium — ROADMAP
+predicts the int8 MXU rate finally beats the dynamic-quantize VPU cost
+at d=1280)"
+timeout 5400 python scripts/model_scaling_bench.py \
+  --models large-v3 --variant x6 --reps 3 >>"$OUT" 2>&1 || true
 
 step "5. cross-variant RESULTS rows"
 mkdir -p /tmp/r4audio
