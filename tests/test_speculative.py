@@ -276,6 +276,48 @@ class TestChunkedLongformSpeculative:
             speculative=True, draft_k=3)
         assert got == want
 
+    def test_share_encoder_lossless(self):
+        """share_encoder=True feeds the MAIN encoder states to the draft
+        decoder (the distil-whisper deployment: its decoder was distilled
+        against the frozen teacher encoder). The draft only PROPOSES, so
+        losslessness must hold even for an adversarial draft decoder fed
+        the 'wrong' (= main) encoder states."""
+        from whisper_tpu.pipeline.longform import transcribe_longform
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(13)
+        audio = rng.normal(0, 0.1, int(16000 * 40)).astype(np.float32)
+
+        sess = WhisperSession(params, dims,
+                              RuntimeCfg(dtype="float32", max_batch=4))
+        want, _ = transcribe_longform(
+            sess, audio, language="en", task="transcribe", max_new_tokens=6)
+
+        sess.set_draft_model(init_params(dims, seed=99), dims,
+                             share_encoder=True)
+        got, _ = transcribe_longform(
+            sess, audio, language="en", task="transcribe", max_new_tokens=6,
+            speculative=True, draft_k=3)
+        assert got == want
+
+    def test_share_encoder_requires_matching_width(self):
+        import dataclasses
+
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+        dims = get_dims("test/whisper-nano")
+        sess = WhisperSession(init_params(dims, seed=0), dims,
+                              RuntimeCfg(dtype="float32", max_batch=2))
+        narrow = dataclasses.replace(
+            dims, d_model=dims.d_model // 2,
+            encoder_heads=max(1, dims.encoder_heads // 2),
+            decoder_heads=max(1, dims.decoder_heads // 2))
+        with pytest.raises(ValueError, match="share_encoder"):
+            sess.set_draft_model(init_params(narrow, seed=1), narrow,
+                                 share_encoder=True)
+
     def test_engine_long_lane_speculative_same_text(self):
         """The serving engine's long-form lane takes the speculative
         program when a draft is attached — text identical to the plain

@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "perf exploration)")
     p.add_argument("--draft-k", type=int, default=4,
                    help="draft tokens proposed per verify round")
+    p.add_argument("--draft-share-encoder", action="store_true",
+                   help="feed the MAIN model's encoder states to the draft "
+                        "decoder instead of running the draft encoder — "
+                        "correct for distil-whisper drafts (their encoder "
+                        "is a frozen copy of the teacher's); skips a full "
+                        "draft encoder pass per chunk")
     p.add_argument("--temperatures", default="",
                    help="comma list (e.g. '0,0.2,0.4,0.6,0.8,1') enabling "
                         "openai-whisper-style temperature-fallback decoding")
@@ -329,7 +335,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             d_dims = _get_dims(args.draft_model_id)
             d_params = _convert.init_params(d_dims, seed=1)
-        session.set_draft_model(d_params, d_dims)
+        session.set_draft_model(d_params, d_dims,
+                                share_encoder=args.draft_share_encoder)
 
     files = list_audio_files(args.audio_dir, args.limit_files)
     if not files:

@@ -703,8 +703,9 @@ class WhisperSession:
         closures sharing __code__ with different arg counts trip the jit
         dispatch cache (see run_conditioned note above)."""
         _, draft_dims = self._draft  # frozen dataclass: hashable key part
+        share_enc = getattr(self, "_draft_share_encoder", False)
         key = ("mel-spec", n_frames, batch, prompt_len, max_new, eot_id,
-               draft_k, draft_dims, chunk_norm)
+               draft_k, draft_dims, chunk_norm, share_enc)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
@@ -738,8 +739,8 @@ class WhisperSession:
                                             int8_activations=self._enc_i8,
                                             fused_mlp=self.cfg.fused_encoder_mlp,
                                             fused_block=self.cfg.fused_encoder_block)
-                enc_d = whisper.encoder_apply(dparams, draft_dims, chunks,
-                                              precision=precision)
+                enc_d = enc if share_enc else whisper.encoder_apply(
+                    dparams, draft_dims, chunks, precision=precision)
                 tokens, _, _ = speculative_generate(
                     params, dims, dparams, draft_dims, enc, enc_d,
                     prompt, suppress, first_suppress,
@@ -1036,14 +1037,28 @@ class WhisperSession:
                            jnp.asarray(toks))
         return np.asarray(w.astype(jnp.float32))
 
-    def set_draft_model(self, draft_params, draft_dims: WhisperDims) -> None:
+    def set_draft_model(self, draft_params, draft_dims: WhisperDims,
+                        share_encoder: bool = False) -> None:
         """Attach a draft model (e.g. a distil decoder) for speculative
         decoding of short requests at any batch size (runtime.speculative;
-        per-row cache positions let rows accept different draft lengths)."""
+        per-row cache positions let rows accept different draft lengths).
+
+        share_encoder: feed the MAIN model's encoder states to the draft
+        decoder's cross-attention instead of running the draft encoder —
+        valid for distil-whisper checkpoints, whose decoder was distilled
+        against the FROZEN teacher encoder (their shipped encoder is a
+        copy of it). At large-v3 that removes a full 32-layer encoder
+        pass from every speculative program. Requires matching d_model."""
         from whisper_tpu.models.convert import cast_params
 
+        if share_encoder and draft_dims.d_model != self.dims.d_model:
+            raise ValueError(
+                "share_encoder requires the draft to share the main "
+                f"model's width (draft d_model={draft_dims.d_model}, "
+                f"main {self.dims.d_model})")
         self._draft = (cast_params(draft_params, self.cfg.jnp_dtype),
                        draft_dims)
+        self._draft_share_encoder = bool(share_encoder)
 
     @property
     def has_draft(self) -> bool:
@@ -1088,7 +1103,9 @@ class WhisperSession:
         prompt_arr = jnp.asarray(np.asarray(prompt, dtype=np.int32))
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
 
-        key = ("spec", l, len(prompt), max_new_tokens, eot_id, draft_k)
+        share_enc = getattr(self, "_draft_share_encoder", False)
+        key = ("spec", l, len(prompt), max_new_tokens, eot_id, draft_k,
+               share_enc)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention
@@ -1115,8 +1132,8 @@ class WhisperSession:
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
                                             fused_attention=fused_attn)
-                enc_d = whisper.encoder_apply(dparams, draft_dims, mel,
-                                              precision=precision)
+                enc_d = enc if share_enc else whisper.encoder_apply(
+                    dparams, draft_dims, mel, precision=precision)
                 tokens, _, _ = speculative_generate(
                     params, dims, dparams, draft_dims, enc, enc_d,
                     prompt, sup, first_sup,

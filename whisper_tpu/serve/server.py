@@ -122,6 +122,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "for lossless speculative decoding of lone requests")
     p.add_argument("--draft-model-id", default="",
                    help="registry id for a random-init draft model")
+    p.add_argument("--draft-share-encoder", action="store_true",
+                   help="feed the main encoder's states to the draft "
+                        "decoder (distil-whisper drafts; skips the draft "
+                        "encoder pass)")
 
 
 def build_engine(args) -> StreamingEngine:
@@ -150,10 +154,12 @@ def build_engine(args) -> StreamingEngine:
     session = WhisperSession(params, dims, cfg)
     if args.draft_dir:
         dparams, ddims = convert.load_params(args.draft_dir)
-        session.set_draft_model(dparams, ddims)
+        session.set_draft_model(dparams, ddims,
+                                share_encoder=args.draft_share_encoder)
     elif args.draft_model_id:
         ddims = get_dims(args.draft_model_id)
-        session.set_draft_model(convert.init_params(ddims, seed=1), ddims)
+        session.set_draft_model(convert.init_params(ddims, seed=1), ddims,
+                                share_encoder=args.draft_share_encoder)
     tok = resolve_tokenizer("", args.model_dir, args.model_id)
     gen_cfg = load_generation_cfg(
         os.path.join(args.model_dir, "generation_config.json")
