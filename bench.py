@@ -180,11 +180,15 @@ def main() -> None:
         # wire_mbps the session's measured raw link rate (int16 probe).
         "model_s": round(t.model_only_s, 3),
         "preprocess_s": round(t.preprocess_s, 3),
+        "mode": MODE,
         # Wire-weather-proof secondary metric (VERDICT r3 item 2): device-side
         # throughput alone.  A drop in `value` with a steady `model_x_realtime`
-        # is link weather, not a code regression.
+        # is link weather, not a code regression.  Only meaningful in chunked
+        # mode: pipelined mode's model_only_s ABSORBS the wire wait behind the
+        # first slab's dispatch (pipeline/pipelined.py), so the metric would
+        # be wire-contaminated there — omitted rather than misleading.
         "model_x_realtime": round(AUDIO_SECONDS / t.model_only_s, 2)
-        if t.model_only_s > 0 else None,
+        if (t.model_only_s > 0 and MODE != "pipelined") else None,
     }
     if wire_mbps is not None:
         out["wire_mbps"] = wire_mbps

@@ -76,14 +76,18 @@ def main() -> int:
         d_params, mel)
     jax.block_until_ready((enc, enc_d))
 
-    g_fn = jax.jit(lambda p, e: greedy_generate(
-        p, dims, e, prompt, mask, mask,
+    # prompt/mask are ARGUMENTS, not closure captures: closure-captured jnp
+    # arrays get hoisted as const-args and the jit dispatch fastpath loses
+    # them on the 2nd+ call once a sibling program compiled (the jax-0.9
+    # "supplied 57 buffers but expected 58" landmine — CLAUDE.md).
+    g_fn = jax.jit(lambda p, e, pr, mk: greedy_generate(
+        p, dims, e, pr, mk, mk,
         max_new_tokens=args.max_new, eot_id=eot))
     t0 = time.perf_counter()
-    g_toks = np.asarray(g_fn(params, enc))
+    g_toks = np.asarray(g_fn(params, enc, prompt, mask))
     print(f"greedy: compile+first {time.perf_counter() - t0:.1f}s",
           flush=True)
-    t_g = device_time(g_fn, (params, enc))
+    t_g = device_time(g_fn, (params, enc, prompt, mask))
     ms_tok_g = t_g * 1e3 / args.max_new
     print(f"greedy: {t_g*1e3:.2f} ms/program, {ms_tok_g:.3f} ms/token "
           f"(B={args.batch}, {args.max_new} steps)", flush=True)
@@ -91,16 +95,18 @@ def main() -> int:
     results = {}
     for label, dp, dd, ed in (("self", params, dims, enc),
                               ("distil", d_params, d_dims, enc_d)):
-        s_fn = jax.jit(lambda p, dpp, e, edd: speculative_generate(
-            p, dims, dpp, dd, e, edd, prompt, mask, mask,
+        s_fn = jax.jit(lambda p, dpp, e, edd, pr, mk, _dd=dd:
+                       speculative_generate(
+            p, dims, dpp, _dd, e, edd, pr, mk, mk,
             max_new_tokens=args.max_new, eot_id=eot, draft_k=args.k))
         t0 = time.perf_counter()
-        toks, rounds, n = jax.block_until_ready(s_fn(params, dp, enc, ed))
+        toks, rounds, n = jax.block_until_ready(
+            s_fn(params, dp, enc, ed, prompt, mask))
         print(f"spec[{label}]: compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
         toks = np.asarray(toks)
         diff = int((toks != g_toks).sum())
-        t_s = device_time(s_fn, (params, dp, enc, ed))
+        t_s = device_time(s_fn, (params, dp, enc, ed, prompt, mask))
         rounds = int(rounds)
         committed = int(np.asarray(n).sum())
         tpr = committed / max(rounds, 1) / args.batch

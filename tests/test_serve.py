@@ -630,3 +630,73 @@ class TestEngineLifecycle:
         finally:
             session.transcribe_short_batch_async = orig
             eng.close()
+
+
+class TestRouterEdgeCases:
+    """Round-4 hardening: bounded waits and multi-host address hygiene."""
+
+    def test_zero_backends_bounded_error(self):
+        """A router with no registered backends (reachable now that
+        --backends defaults to empty) must answer with a JSON error within
+        pick_timeout_s instead of blackholing the client forever
+        (serve/router.py pick() deadline)."""
+        import socket
+
+        from whisper_tpu.serve.router import serve_router
+
+        rport = _free_port()
+        ready = threading.Event()
+        holder = {}
+
+        def run_loop():
+            async def main():
+                class Ev:
+                    def set(self):
+                        ready.set()
+
+                holder["loop"] = asyncio.get_running_loop()
+                holder["task"] = asyncio.current_task()
+                try:
+                    await serve_router([], "127.0.0.1", rport, Ev(),
+                                       pick_timeout_s=1.0)
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        t = threading.Thread(target=run_loop, daemon=True)
+        t.start()
+        assert ready.wait(timeout=30)
+        try:
+            t0 = time.time()
+            with socket.create_connection(("127.0.0.1", rport),
+                                          timeout=30) as s:
+                s.sendall(b'{"id": "r0", "pcm16_b64": ""}\n')
+                s.settimeout(30)
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+            elapsed = time.time() - t0
+            resp = json.loads(buf)
+            assert resp["id"] == "r0"
+            assert "no backend available" in resp.get("error", ""), resp
+            assert elapsed < 15, f"error took {elapsed:.1f}s (bound is 1s)"
+        finally:
+            holder["loop"].call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=10)
+
+    def test_resolve_advertise_host(self):
+        """Wildcard binds are not routable from another machine; the
+        registered address must fall back to the hostname (or the explicit
+        --advertise-host override)."""
+        import socket
+
+        from whisper_tpu.serve.server import resolve_advertise_host
+
+        assert resolve_advertise_host("10.0.0.7") == "10.0.0.7"
+        assert resolve_advertise_host("0.0.0.0") == socket.gethostname()
+        assert resolve_advertise_host("::") == socket.gethostname()
+        assert resolve_advertise_host("0.0.0.0", "tpu-host-3") == "tpu-host-3"

@@ -697,7 +697,12 @@ class WhisperSession:
         starts -> tokens via draft-and-verify over the CHUNK BATCH (the
         path that produces every headline number — VERDICT r3 item 5;
         acceptance lengths diverge per row, handled by per-row cache
-        positions in runtime.speculative). Token-lossless vs greedy.
+        positions in runtime.speculative). Token-lossless vs greedy AT THE
+        SAME PRECISION WITH THE QUANTIZED DECODE KERNELS OFF: the verify
+        pass runs the plain cfg.precision decoder (no int8 cross/self KV,
+        no packed x4/x5 kernels), so with an x4+ variant the transcript
+        matches x2-grade greedy — parity-grade logits, but near-tie tokens
+        can differ from an int8-KV greedy run (set_draft_model warns).
 
         Separate code object from _get_mel_fn's `run` on purpose: two jit'd
         closures sharing __code__ with different arg counts trip the jit
@@ -1056,6 +1061,18 @@ class WhisperSession:
                 "share_encoder requires the draft to share the main "
                 f"model's width (draft d_model={draft_dims.d_model}, "
                 f"main {self.dims.d_model})")
+        if (self.cfg.int8_kv_cache or self._packed_cross or self._int8_mxu
+                or self._int8_self or self.cfg.fused_decoder_step):
+            import warnings
+
+            warnings.warn(
+                "speculative programs run the verify pass at cfg.precision "
+                "WITHOUT the quantized decode kernels (int8 KV / packed "
+                "x4/x5/x7 / fused step) — transcripts match x2-grade "
+                "greedy, not int8-KV greedy, on near-tie tokens "
+                "(docs/SPECULATIVE.md constraints)",
+                stacklevel=2,
+            )
         self._draft = (cast_params(draft_params, self.cfg.jnp_dtype),
                        draft_dims)
         self._draft_share_encoder = bool(share_encoder)
@@ -1077,7 +1094,8 @@ class WhisperSession:
     ) -> np.ndarray:
         """Fused audio->mel->both-encoders->speculative-loop program over a
         batch of short utterances; requires set_draft_model. Output is
-        token-exact with the plain greedy path (lossless speculation)."""
+        token-exact with the plain greedy path at the same precision with
+        the quantized decode kernels disabled (see _get_mel_spec_fn)."""
         return np.asarray(self.transcribe_short_speculative_async(
             padded_audio, n_valid_frames, prompt, max_new_tokens, eot_id,
             suppress_ids, begin_suppress_ids, draft_k))
@@ -1131,7 +1149,10 @@ class WhisperSession:
                 )(audio_f32, n_valid)
                 enc = whisper.encoder_apply(params, dims, mel,
                                             precision=precision,
-                                            fused_attention=fused_attn)
+                                            fused_attention=fused_attn,
+                                            int8_activations=self._enc_i8,
+                                            fused_mlp=self.cfg.fused_encoder_mlp,
+                                            fused_block=self.cfg.fused_encoder_block)
                 enc_d = enc if share_enc else whisper.encoder_apply(
                     dparams, draft_dims, mel, precision=precision)
                 tokens, _, _ = speculative_generate(

@@ -39,6 +39,7 @@ from whisper_tpu.serve.server import _LINE_LIMIT
 DEFAULT_MAX_INFLIGHT = 64
 DEFAULT_UNHEALTHY_AFTER = 3
 DEFAULT_COOLDOWN_S = 5.0
+DEFAULT_PICK_TIMEOUT_S = 30.0
 
 
 class Backend:
@@ -116,12 +117,14 @@ class Router:
     def __init__(self, backends: List[Tuple[str, int]],
                  max_inflight: int = DEFAULT_MAX_INFLIGHT,
                  unhealthy_after: int = DEFAULT_UNHEALTHY_AFTER,
-                 cooldown_s: float = DEFAULT_COOLDOWN_S):
+                 cooldown_s: float = DEFAULT_COOLDOWN_S,
+                 pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S):
         self.unhealthy_after = unhealthy_after
         self.cooldown_s = cooldown_s
         self.backends = [Backend(h, p, unhealthy_after, cooldown_s)
                          for h, p in backends]
         self.max_inflight = max_inflight
+        self.pick_timeout_s = pick_timeout_s
         self._slot_free = asyncio.Condition()
 
     def register(self, host: str, port: int) -> Backend:
@@ -174,7 +177,14 @@ class Router:
         """Wait for a healthy backend with a free inflight slot.
 
         Fail-open: when every backend is benched (but has slots), route to
-        the least-recently-failed one rather than blackholing traffic."""
+        the least-recently-failed one rather than blackholing traffic.
+
+        Bounded: with zero registered backends (now a reachable state —
+        --backends may be empty pending self-registration, and deregister
+        can empty the list), or with every backend saturated past
+        pick_timeout_s, raises instead of blackholing the client forever;
+        handle_client turns that into a JSON error line."""
+        deadline = time.monotonic() + self.pick_timeout_s
         while True:
             b = self._pick_now(exclude)
             if b is not None:
@@ -184,12 +194,18 @@ class Router:
                        and b.inflight < self.max_inflight]
             if benched and not any(b.healthy for b in self.backends):
                 return min(benched, key=lambda b: b.last_failure)
-            # Everything saturated: backpressure — wait for a slot.
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"no backend available within {self.pick_timeout_s:g}s "
+                    f"({len(self.backends)} registered)"
+                )
+            # Nothing pickable yet (saturated, or awaiting registration):
+            # backpressure — wait for a slot / re-evaluate periodically.
             async with self._slot_free:
                 try:
                     await asyncio.wait_for(self._slot_free.wait(), 0.25)
                 except asyncio.TimeoutError:
-                    pass  # re-evaluate health/cooldowns periodically
+                    pass  # re-evaluate health/cooldowns/registrations
 
     async def _forward(self, line: bytes) -> bytes:
         first = await self.pick()
@@ -208,12 +224,16 @@ class Router:
     async def stats(self, req_id) -> bytes:
         line = json.dumps({"id": req_id, "stats": True}).encode() + b"\n"
         # Concurrent fan-out; stats traffic does not touch health state.
+        # Snapshot the membership list BEFORE awaiting: a register/
+        # deregister control line landing mid-gather would otherwise
+        # misalign the zip and attribute one backend's stats to another.
+        backends = list(self.backends)
         results = await asyncio.gather(
-            *(b.forward(line, record_health=False) for b in self.backends),
+            *(b.forward(line, record_health=False) for b in backends),
             return_exceptions=True,
         )
         per = {}
-        for b, resp in zip(self.backends, results):
+        for b, resp in zip(backends, results):
             if isinstance(resp, BaseException):
                 per[b.name] = {"error": str(resp)}
             else:
@@ -266,8 +286,10 @@ async def serve_router(backends: List[Tuple[str, int]], host: str,
                        port: int, ready_event=None,
                        max_inflight: int = DEFAULT_MAX_INFLIGHT,
                        unhealthy_after: int = DEFAULT_UNHEALTHY_AFTER,
-                       cooldown_s: float = DEFAULT_COOLDOWN_S) -> None:
-    router = Router(backends, max_inflight, unhealthy_after, cooldown_s)
+                       cooldown_s: float = DEFAULT_COOLDOWN_S,
+                       pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S) -> None:
+    router = Router(backends, max_inflight, unhealthy_after, cooldown_s,
+                    pick_timeout_s)
     server = await asyncio.start_server(
         router.handle_client, host, port, limit=_LINE_LIMIT
     )
@@ -304,6 +326,11 @@ def main(argv=None) -> int:
                    help="consecutive failures before a backend is benched")
     p.add_argument("--cooldown-s", type=float, default=DEFAULT_COOLDOWN_S,
                    help="bench duration before the next health probe")
+    p.add_argument("--pick-timeout-s", type=float,
+                   default=DEFAULT_PICK_TIMEOUT_S,
+                   help="max seconds a request waits for a routable "
+                        "backend (zero registered / all saturated) before "
+                        "it gets a JSON error instead of blackholing")
     args = p.parse_args(argv)
 
     class Ev:
@@ -313,7 +340,8 @@ def main(argv=None) -> int:
 
     asyncio.run(serve_router(parse_backends(args.backends), args.host,
                              args.port, Ev(), args.max_inflight,
-                             args.unhealthy_after, args.cooldown_s))
+                             args.unhealthy_after, args.cooldown_s,
+                             args.pick_timeout_s))
     return 0
 
 

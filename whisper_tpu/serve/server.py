@@ -177,6 +177,19 @@ def build_engine(args) -> StreamingEngine:
     return engine
 
 
+def resolve_advertise_host(bind_host: str, advertise_host: str = "") -> str:
+    """Address to register with a router: --advertise-host wins; a
+    wildcard bind (0.0.0.0 / ::) is not routable from another machine,
+    so fall back to this machine's hostname."""
+    if advertise_host:
+        return advertise_host
+    if bind_host in ("0.0.0.0", "::", ""):
+        import socket
+
+        return socket.gethostname()
+    return bind_host
+
+
 def register_backend(router_addr: str, host: str, port: int,
                      retries: int = 20, delay_s: float = 0.5) -> dict:
     """Dial a serve.router and self-register this server as a backend
@@ -218,6 +231,11 @@ def main(argv=None) -> int:
     p.add_argument("--register-with", default="",
                    help="host:port of a serve.router to self-register "
                         "with once this server is listening")
+    p.add_argument("--advertise-host", default="",
+                   help="address registered with the router (default: "
+                        "--host, or this machine's hostname when --host "
+                        "is a wildcard bind like 0.0.0.0 — a wildcard is "
+                        "not routable from another machine)")
     args = p.parse_args(argv)
 
     from whisper_tpu.utils.compilecache import enable_compilation_cache
@@ -231,10 +249,33 @@ def main(argv=None) -> int:
     class _Ready:
         def set(self):  # called once the listener is bound
             if args.register_with:
-                resp = register_backend(args.register_with, args.host,
-                                        args.port)
-                print(f"Registered with router {args.register_with}: "
-                      f"{resp}", flush=True)
+                # Registration runs in a daemon thread: register_backend
+                # does blocking socket I/O + sleep retries (up to ~110 s
+                # while the router boots), which would freeze the already
+                # -bound asyncio server if run on the event loop; and a
+                # router that never appears must not kill a server that
+                # just paid the warmup compile — log and serve standalone.
+                import threading
+
+                advertise = resolve_advertise_host(args.host,
+                                                   args.advertise_host)
+                if advertise != args.host:
+                    print(f"advertising '{advertise}' to the router "
+                          f"(bind host {args.host}; override with "
+                          f"--advertise-host)", flush=True)
+
+                def _register():
+                    try:
+                        resp = register_backend(args.register_with,
+                                                advertise, args.port)
+                        print(f"Registered with router "
+                              f"{args.register_with}: {resp}", flush=True)
+                    except Exception as e:
+                        print(f"WARNING: registration with "
+                              f"{args.register_with} failed ({e}); "
+                              f"serving standalone", flush=True)
+
+                threading.Thread(target=_register, daemon=True).start()
             print(f"Serving on {args.host}:{args.port}", flush=True)
 
     try:
