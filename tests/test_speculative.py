@@ -348,3 +348,58 @@ class TestChunkedLongformSpeculative:
         finally:
             eng2.close()
         assert got == want
+
+
+class TestInt8CrossKV:
+    """cfg.int8_kv_cache plumbing (round 4): with int8_cross_kv the
+    committed sequence must equal greedy_generate(int8_cross_kv=True) —
+    the unpacked int8 chain the packed x4/x5 kernels are pinned against
+    (tests/test_cross_attention.py) — NOT the bf16/fp32 chain."""
+
+    def test_matches_int8_greedy_batched(self, setup):
+        dims, params, draft, _, _ = setup
+        rng = np.random.default_rng(11)
+        mel = rng.normal(0, 1, (3, dims.n_mels, 3000)).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        enc_d = whisper.encoder_apply(draft, dims, jnp.asarray(mel))
+
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+        want = np.asarray(greedy_generate(
+            params, dims, enc, prompt, mask, mask,
+            max_new_tokens=12, eot_id=2, int8_cross_kv=True,
+        ))
+        got, rounds, n = speculative_generate(
+            params, dims, draft, dims, enc, enc_d, prompt, mask, mask,
+            max_new_tokens=12, eot_id=2, draft_k=3, int8_cross_kv=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert rounds >= 1
+
+    @pytest.mark.slow
+    def test_session_x4_draft_matches_x4_greedy_text(self):
+        """Through the long-form driver at variant x4 (int8 weights + KV +
+        packed kernels, interpret mode on CPU): draft-attached transcripts
+        must equal the plain x4 run's — the claim the CLI --draft-dir help
+        makes for quantized variants."""
+        from whisper_tpu.models.convert import init_params as ip
+        from whisper_tpu.pipeline.longform import transcribe_longform
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.variants.ladder import apply_variant
+
+        dims = get_dims("test/whisper-nano")
+        rng = np.random.default_rng(3)
+        audio = rng.normal(0, 0.2, int(16000 * 42)).astype(np.float32)
+
+        def text(with_draft):
+            cfg, _ = apply_variant(RuntimeCfg(max_batch=2), "x4")
+            sess = WhisperSession(ip(dims, seed=0), dims, cfg)
+            if with_draft:
+                sess.set_draft_model(ip(dims, seed=99), dims)
+            out, _ = transcribe_longform(
+                sess, audio, language="en", task="transcribe",
+                max_new_tokens=6, chunk_length_s=30.0, overlap_s=5.0,
+            )
+            return out
+
+        assert text(True) == text(False)

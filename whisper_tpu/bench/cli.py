@@ -98,10 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model dir of a draft model (e.g. a distil decoder) "
                         "— enables lossless batched speculative decoding of "
                         "the chunked long-form path (token-identical to "
-                        "greedy at the same precision with the quantized "
-                        "decode kernels off — with an x4+ variant the "
-                        "verify pass decodes at x2-grade precision; "
-                        "runtime/speculative.py)")
+                        "greedy at the variant's precision and cross-KV "
+                        "quantization; runtime/speculative.py)")
     p.add_argument("--draft-model-id", default="",
                    help="registry id for a random-init draft model "
                         "(random weights draft ~nothing useful; for shape/"

@@ -697,12 +697,13 @@ class WhisperSession:
         starts -> tokens via draft-and-verify over the CHUNK BATCH (the
         path that produces every headline number — VERDICT r3 item 5;
         acceptance lengths diverge per row, handled by per-row cache
-        positions in runtime.speculative). Token-lossless vs greedy AT THE
-        SAME PRECISION WITH THE QUANTIZED DECODE KERNELS OFF: the verify
-        pass runs the plain cfg.precision decoder (no int8 cross/self KV,
-        no packed x4/x5 kernels), so with an x4+ variant the transcript
-        matches x2-grade greedy — parity-grade logits, but near-tie tokens
-        can differ from an int8-KV greedy run (set_draft_model warns).
+        positions in runtime.speculative). Token-lossless vs greedy at the
+        session's precision AND cross-KV quantization: cfg.int8_kv_cache
+        is plumbed into both prefills, so the verify pass attends the same
+        int8 cross values greedy does; the packed x4/x5 kernels are a
+        layout/rounding change pinned token-equal to that unpacked int8
+        chain (tests/test_cross_attention.py), as are the hybrid fused
+        step (test_decoder_kernels.py) and x7 (test_self_attention_int8).
 
         Separate code object from _get_mel_fn's `run` on purpose: two jit'd
         closures sharing __code__ with different arg counts trip the jit
@@ -751,6 +752,7 @@ class WhisperSession:
                     prompt, suppress, first_suppress,
                     max_new_tokens=max_new, eot_id=eot_id,
                     draft_k=draft_k, precision=precision,
+                    int8_cross_kv=self.cfg.int8_kv_cache,
                 )
                 return tokens
 
@@ -1061,18 +1063,6 @@ class WhisperSession:
                 "share_encoder requires the draft to share the main "
                 f"model's width (draft d_model={draft_dims.d_model}, "
                 f"main {self.dims.d_model})")
-        if (self.cfg.int8_kv_cache or self._packed_cross or self._int8_mxu
-                or self._int8_self or self.cfg.fused_decoder_step):
-            import warnings
-
-            warnings.warn(
-                "speculative programs run the verify pass at cfg.precision "
-                "WITHOUT the quantized decode kernels (int8 KV / packed "
-                "x4/x5/x7 / fused step) — transcripts match x2-grade "
-                "greedy, not int8-KV greedy, on near-tie tokens "
-                "(docs/SPECULATIVE.md constraints)",
-                stacklevel=2,
-            )
         self._draft = (cast_params(draft_params, self.cfg.jnp_dtype),
                        draft_dims)
         self._draft_share_encoder = bool(share_encoder)
@@ -1094,8 +1084,8 @@ class WhisperSession:
     ) -> np.ndarray:
         """Fused audio->mel->both-encoders->speculative-loop program over a
         batch of short utterances; requires set_draft_model. Output is
-        token-exact with the plain greedy path at the same precision with
-        the quantized decode kernels disabled (see _get_mel_spec_fn)."""
+        token-exact with the plain greedy path at the session's precision
+        and cross-KV quantization (see _get_mel_spec_fn)."""
         return np.asarray(self.transcribe_short_speculative_async(
             padded_audio, n_valid_frames, prompt, max_new_tokens, eot_id,
             suppress_ids, begin_suppress_ids, draft_k))
@@ -1160,6 +1150,7 @@ class WhisperSession:
                     prompt, sup, first_sup,
                     max_new_tokens=max_new_tokens, eot_id=eot_id,
                     draft_k=draft_k, precision=precision,
+                    int8_cross_kv=self.cfg.int8_kv_cache,
                 )
                 return tokens
 

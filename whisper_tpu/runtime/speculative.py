@@ -68,13 +68,22 @@ def speculative_generate(
     draft_k: int = 4,
     *,
     precision=None,
+    int8_cross_kv: bool = False,
 ):
     """Returns (tokens [B, max_new_tokens], n_rounds, n_committed [B]).
 
     n_rounds counts verifier passes — with a good drafter,
     n_committed / n_rounds approaches draft_k + 1 tokens per full-model
     pass; with a useless drafter it degrades to ~1 (never below plain
-    greedy correctness)."""
+    greedy correctness).
+
+    int8_cross_kv quantizes BOTH models' cross caches exactly as the
+    greedy path does (decoder_prefill quantizes before the prompt pass,
+    so prefill, drafts, and the verify pass all attend through the same
+    int8 values) — with it, the committed sequence is token-identical to
+    greedy_generate(int8_cross_kv=True), whose chain the packed x4/x5
+    kernels are pinned against (tests/test_cross_attention.py). It also
+    halves the cross-KV streaming of every draft step and verify pass."""
     b = enc_states.shape[0]
     p = prompt.shape[0]
     # + draft_k slack: the last verify round may overrun before masking.
@@ -82,7 +91,8 @@ def speculative_generate(
     tokens_p = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
 
     logits, cache = whisper.decoder_prefill(
-        params, dims, tokens_p, enc_states, max_len, precision=precision
+        params, dims, tokens_p, enc_states, max_len, precision=precision,
+        int8_cross_kv=int8_cross_kv,
     )
     first = jnp.argmax(
         logits[:, -1, :].astype(jnp.float32) + first_suppress_mask, axis=-1
@@ -90,7 +100,7 @@ def speculative_generate(
 
     d_logits, d_cache = whisper.decoder_prefill(
         draft_params, draft_dims, tokens_p, draft_enc_states, max_len,
-        precision=precision,
+        precision=precision, int8_cross_kv=int8_cross_kv,
     )
 
     buf = jnp.full((b, max_new_tokens + draft_k), eot_id, dtype=jnp.int32)
