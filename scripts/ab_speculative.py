@@ -42,6 +42,11 @@ def main() -> int:
                     default="distil-whisper/distil-large-v3")
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--int8", action="store_true",
+                    help="measure the production x5 configuration: greedy "
+                         "runs int8 cross-KV + packed int8-MXU kernels; "
+                         "speculative runs int8_cross_kv + packed_draft + "
+                         "int8_mxu (the config the session plumbs)")
     args = ap.parse_args()
 
     import jax
@@ -80,9 +85,11 @@ def main() -> int:
     # arrays get hoisted as const-args and the jit dispatch fastpath loses
     # them on the 2nd+ call once a sibling program compiled (the jax-0.9
     # "supplied 57 buffers but expected 58" landmine — CLAUDE.md).
+    q8 = bool(args.int8)
     g_fn = jax.jit(lambda p, e, pr, mk: greedy_generate(
         p, dims, e, pr, mk, mk,
-        max_new_tokens=args.max_new, eot_id=eot))
+        max_new_tokens=args.max_new, eot_id=eot,
+        int8_cross_kv=q8, packed_cross=q8, int8_mxu=q8))
     t0 = time.perf_counter()
     g_toks = np.asarray(g_fn(params, enc, prompt, mask))
     print(f"greedy: compile+first {time.perf_counter() - t0:.1f}s",
@@ -98,7 +105,8 @@ def main() -> int:
         s_fn = jax.jit(lambda p, dpp, e, edd, pr, mk, _dd=dd:
                        speculative_generate(
             p, dims, dpp, _dd, e, edd, pr, mk, mk,
-            max_new_tokens=args.max_new, eot_id=eot, draft_k=args.k))
+            max_new_tokens=args.max_new, eot_id=eot, draft_k=args.k,
+            int8_cross_kv=q8, packed_draft=q8, int8_mxu=q8))
         t0 = time.perf_counter()
         toks, rounds, n = jax.block_until_ready(
             s_fn(params, dp, enc, ed, prompt, mask))

@@ -40,8 +40,10 @@ step "1. round-3 validation queue"
 bash scripts/tpu_validation_queue.sh "$OUT.r3queue" || true
 tail -5 "$OUT.r3queue" >>"$OUT" 2>/dev/null || true
 
-step "2. speculative A/B (large-v3, B=16, k=4)"
+step "2. speculative A/B (large-v3, B=16, k=4) — bf16 then production x5 config"
 timeout 5400 python scripts/ab_speculative.py --batch 16 --max-new 32 \
+  >>"$OUT" 2>&1 || true
+timeout 5400 python scripts/ab_speculative.py --batch 16 --max-new 32 --int8 \
   >>"$OUT" 2>&1 || true
 
 step "3a. bucket-16 chunk program DEVICE time (delta method — hypothesis:

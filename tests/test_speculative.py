@@ -403,3 +403,39 @@ class TestInt8CrossKV:
             return out
 
         assert text(True) == text(False)
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_packed_drafter_lossless(self, mxu):
+        """packed_draft routes the DRAFTER's single-token steps through the
+        head-packed x4/x5 kernels (interpret mode on CPU). Drafts are
+        advisory, so kernel rounding in the drafter must never change the
+        committed tokens: output still equals greedy(int8_cross_kv=True)."""
+        from whisper_tpu.models.registry import WhisperDims
+
+        dims = WhisperDims(
+            n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+            decoder_layers=2, decoder_heads=2, vocab_size=256,
+            max_source_positions=96, max_target_positions=64,
+        )  # head_dim = 64 -> one packed head pair per layer
+        params = init_params(dims, seed=0)
+        draft = init_params(dims, seed=99)
+        rng = np.random.default_rng(5)
+        mel = rng.normal(
+            0, 1, (2, dims.n_mels, 2 * dims.max_source_positions)
+        ).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        enc_d = whisper.encoder_apply(draft, dims, jnp.asarray(mel))
+
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+        want = np.asarray(greedy_generate(
+            params, dims, enc, prompt, mask, mask,
+            max_new_tokens=10, eot_id=2, int8_cross_kv=True,
+        ))
+        got, rounds, _ = speculative_generate(
+            params, dims, draft, dims, enc, enc_d, prompt, mask, mask,
+            max_new_tokens=10, eot_id=2, draft_k=3, int8_cross_kv=True,
+            packed_draft=True, int8_mxu=mxu,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert rounds >= 1

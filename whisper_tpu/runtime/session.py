@@ -753,6 +753,8 @@ class WhisperSession:
                     max_new_tokens=max_new, eot_id=eot_id,
                     draft_k=draft_k, precision=precision,
                     int8_cross_kv=self.cfg.int8_kv_cache,
+                    packed_draft=self._packed_cross,
+                    int8_mxu=self._int8_mxu,
                 )
                 return tokens
 
@@ -1151,6 +1153,8 @@ class WhisperSession:
                     max_new_tokens=max_new_tokens, eot_id=eot_id,
                     draft_k=draft_k, precision=precision,
                     int8_cross_kv=self.cfg.int8_kv_cache,
+                    packed_draft=self._packed_cross,
+                    int8_mxu=self._int8_mxu,
                 )
                 return tokens
 

@@ -69,6 +69,15 @@ def speculative_generate(
     *,
     precision=None,
     int8_cross_kv: bool = False,
+    packed_draft: bool = False,   # head-pack the DRAFT's int8 cross cache:
+                                  # its single-token steps then stream the
+                                  # same full-128-lane kernels greedy's
+                                  # decode loop uses (x4/x5). Drafts are
+                                  # advisory — the verify pass re-derives
+                                  # every committed token — so drafter
+                                  # kernel rounding cannot change output.
+    int8_mxu: bool = False,       # int8xint8 MXU dots in the packed draft
+                                  # step (x5 layout: transposed K)
 ):
     """Returns (tokens [B, max_new_tokens], n_rounds, n_committed [B]).
 
@@ -102,6 +111,12 @@ def speculative_generate(
         draft_params, draft_dims, tokens_p, draft_enc_states, max_len,
         precision=precision, int8_cross_kv=int8_cross_kv,
     )
+    # Same packing gate as greedy_generate (head pairs onto 128 lanes).
+    d_cross_len = None
+    if (packed_draft and int8_cross_kv and draft_dims.head_dim == 64
+            and draft_dims.decoder_heads % 2 == 0):
+        d_cache = whisper.pack_cross_cache(d_cache, transpose_k=int8_mxu)
+        d_cross_len = draft_enc_states.shape[1]
 
     buf = jnp.full((b, max_new_tokens + draft_k), eot_id, dtype=jnp.int32)
     buf = buf.at[:, 0].set(first)
@@ -120,7 +135,8 @@ def speculative_generate(
             d_last, d_cache, drafts = carry
             lg, d_cache = whisper.decoder_step(
                 draft_params, draft_dims, d_last, pos + i, d_cache,
-                precision=precision,
+                precision=precision, cross_len=d_cross_len,
+                int8_mxu=int8_mxu if d_cross_len is not None else False,
             )
             nxt = jnp.argmax(
                 lg.astype(jnp.float32) + suppress_mask, axis=-1
