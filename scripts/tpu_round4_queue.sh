@@ -70,6 +70,12 @@ at d=1280)"
 timeout 5400 python scripts/model_scaling_bench.py \
   --models large-v3 --variant x6 --reps 3 >>"$OUT" 2>&1 || true
 
+step "4c. encoder-block fusion ladder at large dims (the d=512 negative
+— extra pallas boundaries lose cross-op overlap — may flip at d=1280
+where per-layer HBM intermediates are 6x bigger; ops/encoder_block.py)"
+timeout 5400 python scripts/bench_encoder_block.py --batch 16 --reps 10 \
+  --model-id openai/whisper-large-v3 >>"$OUT" 2>&1 || true
+
 step "5. cross-variant RESULTS rows"
 mkdir -p /tmp/r4audio
 python scripts/make_test_audio.py --out /tmp/r4audio/audio.wav || true
