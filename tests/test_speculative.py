@@ -439,3 +439,27 @@ class TestInt8CrossKV:
         )
         np.testing.assert_array_equal(np.asarray(got), want)
         assert rounds >= 1
+
+    @pytest.mark.slow
+    def test_short_serving_x4_spec_matches_plain(self):
+        """The serving short lane at x4 (packed kernels + packed drafter,
+        interpret on CPU): transcribe_short_speculative must be
+        token-identical to transcribe_short_batch under the same session."""
+        from whisper_tpu.models.registry import WhisperDims
+        from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+        from whisper_tpu.variants.ladder import apply_variant
+
+        dims = WhisperDims(
+            n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+            decoder_layers=2, decoder_heads=2, vocab_size=256,
+            max_source_positions=1500, max_target_positions=64,
+        )  # head_dim = 64 -> packed gates engage
+        cfg, _ = apply_variant(RuntimeCfg(max_batch=2), "x4")
+        sess = WhisperSession(init_params(dims, seed=0), dims, cfg)
+        sess.set_draft_model(init_params(dims, seed=99), dims)
+        rng = np.random.default_rng(0)
+        audio = rng.normal(0, 0.1, (2, 16000 * 3 + 400)).astype(np.float32)
+        nvf = np.array([300, 280], dtype=np.int32)
+        spec = sess.transcribe_short_speculative(audio, nvf, [3, 5], 8, 2)
+        plain = sess.transcribe_short_batch(audio, nvf, [3, 5], 8, 2)
+        np.testing.assert_array_equal(spec, plain)
