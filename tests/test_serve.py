@@ -527,6 +527,46 @@ class TestRouterHealth:
         finally:
             stop()
 
+    def test_control_token_gates_pool_mutation(self):
+        """With --control-token set, register/deregister lines missing or
+        mismatching the token are rejected (ADVICE r4: otherwise any peer
+        that can reach the port can empty the pool); data-plane requests
+        are unaffected."""
+        bport = _free_port()
+        ready = threading.Event()
+        self._echo_backend(bport, ready)
+        assert ready.wait(10)
+
+        rport, stop = self._start_router([], control_token="sekrit")
+        try:
+            # No token / wrong token → rejected, pool unchanged.
+            r = self._ask(rport, {"id": "c", "register":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert "error" in r and "token" in r["error"]
+            r = self._ask(rport, {"id": "c1", "token": "wrong", "register":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert "error" in r
+
+            # Correct token → registered; data plane needs no token.
+            r = self._ask(rport, {"id": "c2", "token": "sekrit", "register":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert r["registered"] == f"127.0.0.1:{bport}"
+            resp = self._ask(rport, {"id": "q"})
+            assert resp.get("via") == bport
+
+            # Tokenless deregister cannot empty the pool.
+            r = self._ask(rport, {"id": "c3", "deregister":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert "error" in r
+            assert self._ask(rport, {"id": "q2"}).get("via") == bport
+
+            r = self._ask(rport, {"id": "c4", "token": "sekrit",
+                                  "deregister":
+                                  {"host": "127.0.0.1", "port": bport}})
+            assert r["deregistered"] and r["n_backends"] == 0
+        finally:
+            stop()
+
 
 class TestTrimmedUpload:
     """Trimmed serving uploads: a tick ships only its longest utterance's

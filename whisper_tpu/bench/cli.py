@@ -201,6 +201,12 @@ def _build_session(args, cfg):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.draft_k < 1:
+        # draft_k=0 inside the on-device while_loop would never terminate
+        # (hung TPU program — can wedge the shared tunnel); reject up front.
+        print(f"error: --draft-k must be >= 1, got {args.draft_k}",
+              file=sys.stderr)
+        return 2
 
     from whisper_tpu.utils.compilecache import enable_compilation_cache
 

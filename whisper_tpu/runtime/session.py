@@ -1114,8 +1114,11 @@ class WhisperSession:
         base_mask, first_mask = self._get_masks(suppress_ids, begin_suppress_ids)
 
         share_enc = getattr(self, "_draft_share_encoder", False)
+        # draft_dims in the key (like _get_mel_spec_fn): re-attaching a
+        # different-dims draft must not reuse a closure traced for the old
+        # drafter's shapes (ADVICE r4).
         key = ("spec", l, len(prompt), max_new_tokens, eot_id, draft_k,
-               share_enc)
+               draft_dims, share_enc)
         if key not in self._fns:
             dims, precision = self.dims, self.cfg.precision
             fused_attn = self.cfg.fused_attention

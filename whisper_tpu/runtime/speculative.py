@@ -93,10 +93,16 @@ def speculative_generate(
     greedy_generate(int8_cross_kv=True), whose chain the packed x4/x5
     kernels are pinned against (tests/test_cross_attention.py). It also
     halves the cross-KV streaming of every draft step and verify pass."""
+    if draft_k < 1:
+        # draft_k=0 would draft nothing, commit nothing, and the on-device
+        # while_loop would never terminate — a hung TPU program that can
+        # wedge the shared tunnel (CLAUDE.md). Fail at trace time instead.
+        raise ValueError(f"draft_k must be >= 1, got {draft_k}")
     b = enc_states.shape[0]
     p = prompt.shape[0]
-    # + draft_k slack: the last verify round may overrun before masking.
-    max_len = p + max_new_tokens + draft_k
+    # + draft_k + 1 slack: the last verify round may overrun before masking
+    # (each round commits up to draft_k + 1 tokens incl. the bonus token).
+    max_len = p + max_new_tokens + draft_k + 1
     tokens_p = jnp.broadcast_to(prompt[None, :], (b, p)).astype(jnp.int32)
 
     logits, cache = whisper.decoder_prefill(
@@ -118,9 +124,11 @@ def speculative_generate(
         d_cache = whisper.pack_cross_cache(d_cache, transpose_k=int8_mxu)
         d_cross_len = draft_enc_states.shape[1]
 
-    buf = jnp.full((b, max_new_tokens + draft_k), eot_id, dtype=jnp.int32)
+    buf = jnp.full(
+        (b, max_new_tokens + draft_k + 1), eot_id, dtype=jnp.int32
+    )
     buf = buf.at[:, 0].set(first)
-    ar_k = jnp.arange(draft_k)[None, :]  # [1, K]
+    ar_k1 = jnp.arange(draft_k + 1)[None, :]  # [1, K+1]
 
     def cond(state):
         _, _, _, done, *_ = state
@@ -149,31 +157,36 @@ def speculative_generate(
             0, draft_k, draft_step, (last, d_cache, drafts0)
         )
 
-        # --- verifier checks [last, d1..d_{k-1}] in one pass per row ---
+        # --- verifier checks [last, d1..dK] in one K+1-token pass per row
+        # (scoring the position AFTER the last draft too, so full acceptance
+        # commits the true bonus token: draft_k + 1 tokens per round) ---
         verify_in = jnp.concatenate(
-            [last[:, None], drafts[:, :-1]], axis=1
-        )  # [B, K]
+            [last[:, None], drafts], axis=1
+        )  # [B, K+1]
         v_logits, cache = _verify_pass(
             params, dims, verify_in, pos, cache, precision
         )
         targets = jnp.argmax(
             v_logits.astype(jnp.float32) + suppress_mask[None, None, :],
             axis=-1,
-        ).astype(jnp.int32)  # [B, K] greedy targets after each input token
+        ).astype(jnp.int32)  # [B, K+1] greedy targets after each input token
 
         # Longest accepted prefix per row: drafts[r, i] == targets[r, i].
-        matches = (drafts == targets).astype(jnp.int32)       # [B, K]
+        matches = (drafts == targets[:, :draft_k]).astype(jnp.int32)  # [B,K]
         n_accept = jnp.argmin(
             jnp.concatenate([matches, jnp.zeros((b, 1), jnp.int32)], axis=1),
             axis=1,
-        )  # [B]
+        )  # [B] in [0, K]
         # Commit drafts[:n_accept] then the verifier's token at the mismatch
         # (or the bonus token when everything matched) => n_accept+1 tokens.
+        drafts_p = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+        )  # [B, K+1] (pad column never selected: ar_k1 < n_accept <= K)
         commit = jnp.where(
-            ar_k < n_accept[:, None], drafts,
-            jnp.where(ar_k == n_accept[:, None], targets, eot_id),
-        )  # [B, K]
-        n_commit = jnp.minimum(n_accept + 1, draft_k)
+            ar_k1 < n_accept[:, None], drafts_p,
+            jnp.where(ar_k1 == n_accept[:, None], targets, eot_id),
+        )  # [B, K+1]
+        n_commit = n_accept + 1  # in [1, K+1]
         n_commit = jnp.where(done, 0, n_commit)  # frozen rows commit nothing
 
         write = jax.vmap(
@@ -182,7 +195,7 @@ def speculative_generate(
         buf = jnp.where(done[:, None], buf, write)
 
         committed_eot = jnp.any(
-            (ar_k < n_commit[:, None]) & (commit == eot_id), axis=1
+            (ar_k1 < n_commit[:, None]) & (commit == eot_id), axis=1
         )
         last_new = jnp.take_along_axis(
             commit, jnp.maximum(n_commit - 1, 0)[:, None], axis=1
@@ -202,6 +215,8 @@ def speculative_generate(
     )
 
     # Positions never committed (incl. overrun slack) become EOT.
-    valid = jnp.arange(max_new_tokens + draft_k)[None, :] < n_gen[:, None]
+    valid = (
+        jnp.arange(max_new_tokens + draft_k + 1)[None, :] < n_gen[:, None]
+    )
     buf = jnp.where(valid, buf, eot_id)[:, :max_new_tokens]
     return buf, rounds, n_gen

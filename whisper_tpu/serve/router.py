@@ -22,6 +22,15 @@ Routing (round-3 hardening, VERDICT r2 weak #8):
 `{"stats": true}` fans out to every backend and returns the merged
 counters plus per-backend detail (including health state).
 
+Trust model: the router listens on a trusted network segment (default
+bind 127.0.0.1). register/deregister control lines mutate the backend
+pool, so on any shared segment start the router with ``--control-token``
+and servers with ``--register-token`` — control lines missing the token
+are rejected (data-plane requests are unaffected). Without a token, any
+client that can reach the port can empty the pool with one
+``{"deregister": ...}`` line; only run tokenless on a loopback/private
+bind (ADVICE r4).
+
 Run: python -m whisper_tpu.serve.router --backends h1:p1,h2:p2 [--port P]
 """
 
@@ -118,9 +127,11 @@ class Router:
                  max_inflight: int = DEFAULT_MAX_INFLIGHT,
                  unhealthy_after: int = DEFAULT_UNHEALTHY_AFTER,
                  cooldown_s: float = DEFAULT_COOLDOWN_S,
-                 pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S):
+                 pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S,
+                 control_token: str = ""):
         self.unhealthy_after = unhealthy_after
         self.cooldown_s = cooldown_s
+        self.control_token = control_token
         self.backends = [Backend(h, p, unhealthy_after, cooldown_s)
                          for h, p in backends]
         self.max_inflight = max_inflight
@@ -148,8 +159,17 @@ class Router:
         return removed
 
     def control(self, msg: dict) -> bytes:
-        """{"register"|"deregister": {"host","port"}} control line."""
+        """{"register"|"deregister": {"host","port"}} control line.
+
+        With control_token set, the line must carry a matching "token"
+        field — pool mutations from unauthenticated peers are rejected
+        (see module docstring's trust model)."""
         req_id = msg.get("id")
+        if self.control_token and msg.get("token") != self.control_token:
+            return (json.dumps(
+                {"id": req_id, "error": "control line rejected: bad or "
+                                        "missing token"}
+            ) + "\n").encode()
         if "register" in msg:
             spec = msg["register"]
             b = self.register(spec.get("host", "127.0.0.1"),
@@ -287,9 +307,10 @@ async def serve_router(backends: List[Tuple[str, int]], host: str,
                        max_inflight: int = DEFAULT_MAX_INFLIGHT,
                        unhealthy_after: int = DEFAULT_UNHEALTHY_AFTER,
                        cooldown_s: float = DEFAULT_COOLDOWN_S,
-                       pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S) -> None:
+                       pick_timeout_s: float = DEFAULT_PICK_TIMEOUT_S,
+                       control_token: str = "") -> None:
     router = Router(backends, max_inflight, unhealthy_after, cooldown_s,
-                    pick_timeout_s)
+                    pick_timeout_s, control_token)
     server = await asyncio.start_server(
         router.handle_client, host, port, limit=_LINE_LIMIT
     )
@@ -331,6 +352,11 @@ def main(argv=None) -> int:
                    help="max seconds a request waits for a routable "
                         "backend (zero registered / all saturated) before "
                         "it gets a JSON error instead of blackholing")
+    p.add_argument("--control-token", default="",
+                   help="shared secret required on register/deregister "
+                        "control lines (servers pass --register-token); "
+                        "empty = tokenless, only safe on loopback/private "
+                        "binds — see module docstring's trust model")
     args = p.parse_args(argv)
 
     class Ev:
@@ -341,7 +367,7 @@ def main(argv=None) -> int:
     asyncio.run(serve_router(parse_backends(args.backends), args.host,
                              args.port, Ev(), args.max_inflight,
                              args.unhealthy_after, args.cooldown_s,
-                             args.pick_timeout_s))
+                             args.pick_timeout_s, args.control_token))
     return 0
 
 

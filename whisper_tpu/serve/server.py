@@ -191,7 +191,8 @@ def resolve_advertise_host(bind_host: str, advertise_host: str = "") -> str:
 
 
 def register_backend(router_addr: str, host: str, port: int,
-                     retries: int = 20, delay_s: float = 0.5) -> dict:
+                     retries: int = 20, delay_s: float = 0.5,
+                     token: str = "") -> dict:
     """Dial a serve.router and self-register this server as a backend
     (multi-host composition: each host announces itself instead of the
     operator enumerating --backends). Retries while the router boots."""
@@ -200,8 +201,10 @@ def register_backend(router_addr: str, host: str, port: int,
 
     rhost, _, rport = router_addr.rpartition(":")
     rhost = rhost or "127.0.0.1"
-    line = (json.dumps({"id": "reg", "register":
-                        {"host": host, "port": port}}) + "\n").encode()
+    msg = {"id": "reg", "register": {"host": host, "port": port}}
+    if token:
+        msg["token"] = token
+    line = (json.dumps(msg) + "\n").encode()
     last: Exception = RuntimeError("unreachable")
     for _ in range(retries):
         try:
@@ -236,6 +239,14 @@ def main(argv=None) -> int:
                         "--host, or this machine's hostname when --host "
                         "is a wildcard bind like 0.0.0.0 — a wildcard is "
                         "not routable from another machine)")
+    p.add_argument("--register-token", default="",
+                   help="shared secret for the router's control plane "
+                        "(matches the router's --control-token)")
+    p.add_argument("--reannounce-s", type=float, default=10.0,
+                   help="re-register with the router every N seconds so a "
+                        "router restart re-acquires this backend without a "
+                        "server bounce (registration is idempotent; 0 "
+                        "disables, reverting to one-shot registration)")
     args = p.parse_args(argv)
 
     from whisper_tpu.utils.compilecache import enable_compilation_cache
@@ -265,15 +276,43 @@ def main(argv=None) -> int:
                           f"--advertise-host)", flush=True)
 
                 def _register():
-                    try:
-                        resp = register_backend(args.register_with,
-                                                advertise, args.port)
-                        print(f"Registered with router "
-                              f"{args.register_with}: {resp}", flush=True)
-                    except Exception as e:
-                        print(f"WARNING: registration with "
-                              f"{args.register_with} failed ({e}); "
-                              f"serving standalone", flush=True)
+                    # Announce, then keep re-announcing every
+                    # --reannounce-s: registration is idempotent router-
+                    # side, so this is a liveness heartbeat — a restarted
+                    # router re-acquires this backend within one period
+                    # instead of orphaning it until an operator bounces
+                    # the server (VERDICT r4 item 6). Log only on state
+                    # transitions to keep the heartbeat silent.
+                    import time as _time
+
+                    registered: bool | None = None  # None = never tried
+                    while True:
+                        try:
+                            resp = register_backend(
+                                args.register_with, advertise, args.port,
+                                # After the first contact the router is
+                                # known; keep later attempts single-shot
+                                # so the loop stays on period.
+                                retries=20 if registered is None else 1,
+                                token=args.register_token)
+                            if not registered:
+                                print(f"Registered with router "
+                                      f"{args.register_with}: {resp}",
+                                      flush=True)
+                            registered = True
+                        except Exception as e:
+                            if registered is not False:  # log transition
+                                tail = (f"retrying every "
+                                        f"{args.reannounce_s:g}s"
+                                        if args.reannounce_s > 0
+                                        else "serving standalone")
+                                print(f"WARNING: registration with "
+                                      f"{args.register_with} failed "
+                                      f"({e}); {tail}", flush=True)
+                            registered = False
+                        if args.reannounce_s <= 0:
+                            return
+                        _time.sleep(args.reannounce_s)
 
                 threading.Thread(target=_register, daemon=True).start()
             print(f"Serving on {args.host}:{args.port}", flush=True)
