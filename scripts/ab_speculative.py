@@ -106,7 +106,8 @@ def main() -> int:
                        speculative_generate(
             p, dims, dpp, _dd, e, edd, pr, mk, mk,
             max_new_tokens=args.max_new, eot_id=eot, draft_k=args.k,
-            int8_cross_kv=q8, packed_draft=q8, int8_mxu=q8))
+            int8_cross_kv=q8, packed_draft=q8, packed_main=q8,
+            int8_mxu=q8))
         t0 = time.perf_counter()
         toks, rounds, n = jax.block_until_ready(
             s_fn(params, dp, enc, ed, prompt, mask))

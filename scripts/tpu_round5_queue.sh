@@ -46,7 +46,8 @@ snapshot_logs() {
   for f in "$OUT" "$OUT.r3queue"; do
     [ -f "$f" ] && cp "$f" "$REPO/results/tpu_r5/$(basename "$f")"
   done
-  git -C "$REPO" add results/tpu_r5 results/bench_latest.json 2>/dev/null
+  git -C "$REPO" add results/tpu_r5 results/bench_latest.json \
+    results/benchmarks RESULTS.md RESULTS.csv 2>/dev/null
   git -C "$REPO" diff --cached --quiet 2>/dev/null || \
     git -C "$REPO" commit -q -m "r5: TPU queue evidence snapshot ($(date -u +%H:%MZ))" || true
 }

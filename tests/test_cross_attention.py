@@ -223,3 +223,81 @@ def test_session_x4_with_packed_kernel():
     want = sess2.transcribe_chunks(mel, prompt=[3], max_new_tokens=6,
                                    eot_id=2)
     np.testing.assert_array_equal(toks, want)
+
+
+class TestMultiQueryKernel:
+    """cross_attend_multi_packed (the speculative verify pass's kernel):
+    each query row must reproduce the single-token kernel's output exactly
+    — same per-query math, the KV block just streams once for all T
+    queries (runtime/speculative.py)."""
+
+    @pytest.fixture(scope="class")
+    def packed_cache(self):
+        params = init_params(DIMS, seed=3)
+        rng = np.random.default_rng(1)
+        mel = rng.normal(0, 1, (3, DIMS.n_mels, 2 * DIMS.max_source_positions))
+        enc = whisper.encoder_apply(params, DIMS, jnp.asarray(mel, jnp.float32))
+        prompt = jnp.asarray([[3, 5], [7, 9], [2, 4]], dtype=jnp.int32)
+        _, cache = whisper.decoder_prefill(
+            params, DIMS, prompt, enc, max_len=12, int8_cross_kv=True
+        )
+        return cache
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_per_query_matches_single_token_kernel(self, packed_cache, mxu):
+        from whisper_tpu.ops.cross_attention import (
+            cross_attend_multi_packed,
+            cross_attend_step_packed,
+        )
+
+        packed = whisper.pack_cross_cache(packed_cache, transpose_k=mxu)
+        ks = packed.cross_k_scale[:, :, :, 0, 0]
+        vs = packed.cross_v_scale[:, :, :, 0, 0]
+        rng = np.random.default_rng(7)
+        b, t, h, dh = 3, 4, DIMS.decoder_heads, 64
+        q = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+        s_valid = DIMS.max_source_positions
+
+        for layer in range(DIMS.decoder_layers):
+            li = jnp.int32(layer)
+            multi = np.asarray(cross_attend_multi_packed(
+                q, packed.cross_k, packed.cross_v, ks, vs, li,
+                s_valid=s_valid, int8_mxu=mxu, interpret=True,
+            ))  # [B, T, H, 64]
+            for tt in range(t):
+                single = np.asarray(cross_attend_step_packed(
+                    q[:, tt], packed.cross_k, packed.cross_v, ks, vs, li,
+                    s_valid=s_valid, int8_mxu=mxu, interpret=True,
+                ))  # [B, H, 64]
+                np.testing.assert_array_equal(multi[:, tt], single)
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_multi_query_matches_xla_int8(self, packed_cache, mxu):
+        """And against the reference _attend_int8 math (fp tolerance: the
+        mxu variant carries ~7-bit probs, like the single-token pin in
+        test_int8_mxu_step_close_to_fp32_dequant)."""
+        from whisper_tpu.ops.cross_attention import cross_attend_multi_packed
+
+        cache = packed_cache
+        packed = whisper.pack_cross_cache(cache, transpose_k=mxu)
+        ks = packed.cross_k_scale[:, :, :, 0, 0]
+        vs = packed.cross_v_scale[:, :, :, 0, 0]
+        rng = np.random.default_rng(8)
+        b, t, h, dh = 3, 5, DIMS.decoder_heads, 64
+        q = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+        s_valid = DIMS.max_source_positions
+
+        li = jnp.int32(1)
+        got = np.asarray(cross_attend_multi_packed(
+            q * dh ** -0.5, packed.cross_k, packed.cross_v, ks, vs, li,
+            s_valid=s_valid, int8_mxu=mxu, interpret=True,
+        ))  # [B, T, H, 64]
+        # _attend_int8 wants q [B, H, T, Dh] (scales itself by dh^-0.5).
+        want = np.asarray(whisper._attend_int8(
+            jnp.swapaxes(q, 1, 2), cache.cross_k[1], cache.cross_v[1],
+            cache.cross_k_scale[1], cache.cross_v_scale[1], None,
+        ))  # [B, H, T, 64]
+        atol = 2e-2 if mxu else 2e-3
+        np.testing.assert_allclose(
+            got, np.swapaxes(want, 1, 2), atol=atol, rtol=0
+        )

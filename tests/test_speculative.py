@@ -440,6 +440,54 @@ class TestInt8CrossKV:
         np.testing.assert_array_equal(np.asarray(got), want)
         assert rounds >= 1
 
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_packed_main_verify_lossless(self, mxu):
+        """packed_main packs the MAIN model's cross cache too: the
+        K+1-token verify pass runs the multi-query packed kernel
+        (ops/cross_attention.py cross_attend_multi_packed, interpret mode
+        on CPU). Per-query math is identical to the single-token packed
+        kernel, so committed tokens still equal the
+        greedy(int8_cross_kv=True) chain the x4/x5 kernels are pinned
+        against."""
+        from whisper_tpu.models.registry import WhisperDims
+
+        dims = WhisperDims(
+            n_mels=80, d_model=128, encoder_layers=2, encoder_heads=2,
+            decoder_layers=2, decoder_heads=2, vocab_size=256,
+            max_source_positions=96, max_target_positions=64,
+        )  # head_dim = 64 -> one packed head pair per layer
+        params = init_params(dims, seed=0)
+        draft = init_params(dims, seed=99)
+        rng = np.random.default_rng(6)
+        mel = rng.normal(
+            0, 1, (2, dims.n_mels, 2 * dims.max_source_positions)
+        ).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        enc_d = whisper.encoder_apply(draft, dims, jnp.asarray(mel))
+
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+        want = np.asarray(greedy_generate(
+            params, dims, enc, prompt, mask, mask,
+            max_new_tokens=10, eot_id=2, int8_cross_kv=True,
+        ))
+        got, rounds, _ = speculative_generate(
+            params, dims, draft, dims, enc, enc_d, prompt, mask, mask,
+            max_new_tokens=10, eot_id=2, draft_k=3, int8_cross_kv=True,
+            packed_draft=True, packed_main=True, int8_mxu=mxu,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert rounds >= 1
+
+        # Perfect drafter (draft == main) through the packed verify too:
+        # the full-acceptance bonus-token branch also stays lossless.
+        got2, _, _ = speculative_generate(
+            params, dims, params, dims, enc, enc, prompt, mask, mask,
+            max_new_tokens=10, eot_id=2, draft_k=3, int8_cross_kv=True,
+            packed_draft=True, packed_main=True, int8_mxu=mxu,
+        )
+        np.testing.assert_array_equal(np.asarray(got2), want)
+
     @pytest.mark.slow
     def test_short_serving_x4_spec_matches_plain(self):
         """The serving short lane at x4 (packed kernels + packed drafter,

@@ -397,30 +397,57 @@ def _decoder_blocks(
             # Head-packed int8 cache (pack_cross_cache): the decode-step
             # Pallas kernel streams full 128-lane tiles — the XLA layout
             # at head_dim=64 only fills half a tile (docs/ROADMAP.md §1).
+            # s > 1 (the speculative K+1-token verify pass) takes the
+            # multi-query variant: same per-query numerics, one KV stream
+            # for all tokens.
             from whisper_tpu.ops.cross_attention import (
+                cross_attend_multi_packed,
+                cross_attend_multi_packed_sharded,
                 cross_attend_step_packed,
                 cross_attend_step_packed_sharded,
             )
 
             dh = dims.head_dim
-            qs = q[:, :, 0, :] * jnp.asarray(dh, q.dtype) ** -0.5
-            if mesh is not None:
-                ctx = cross_attend_step_packed_sharded(
-                    qs, cache.cross_k, cache.cross_v,
-                    cache.cross_k_scale[:, :, :, 0, 0],
-                    cache.cross_v_scale[:, :, :, 0, 0],
-                    li, s_valid=cross_len, mesh=mesh, int8_mxu=int8_mxu,
-                    interpret=jax.default_backend() != "tpu",
-                )
+            interp = jax.default_backend() != "tpu"
+            scale = jnp.asarray(dh, q.dtype) ** -0.5
+            if s == 1:
+                qs = q[:, :, 0, :] * scale
+                if mesh is not None:
+                    ctx = cross_attend_step_packed_sharded(
+                        qs, cache.cross_k, cache.cross_v,
+                        cache.cross_k_scale[:, :, :, 0, 0],
+                        cache.cross_v_scale[:, :, :, 0, 0],
+                        li, s_valid=cross_len, mesh=mesh,
+                        int8_mxu=int8_mxu, interpret=interp,
+                    )
+                else:
+                    ctx = cross_attend_step_packed(
+                        qs, cache.cross_k, cache.cross_v,
+                        cache.cross_k_scale[:, :, :, 0, 0],
+                        cache.cross_v_scale[:, :, :, 0, 0],
+                        li, s_valid=cross_len, int8_mxu=int8_mxu,
+                        interpret=interp,
+                    )
+                o = ctx[:, :, None, :]
             else:
-                ctx = cross_attend_step_packed(
-                    qs, cache.cross_k, cache.cross_v,
-                    cache.cross_k_scale[:, :, :, 0, 0],
-                    cache.cross_v_scale[:, :, :, 0, 0],
-                    li, s_valid=cross_len, int8_mxu=int8_mxu,
-                    interpret=jax.default_backend() != "tpu",
-                )
-            o = ctx[:, :, None, :]
+                qm = jnp.swapaxes(q, 1, 2) * scale     # [B, T, H, Dh]
+                if mesh is not None:
+                    ctx = cross_attend_multi_packed_sharded(
+                        qm, cache.cross_k, cache.cross_v,
+                        cache.cross_k_scale[:, :, :, 0, 0],
+                        cache.cross_v_scale[:, :, :, 0, 0],
+                        li, s_valid=cross_len, mesh=mesh,
+                        int8_mxu=int8_mxu, interpret=interp,
+                    )
+                else:
+                    ctx = cross_attend_multi_packed(
+                        qm, cache.cross_k, cache.cross_v,
+                        cache.cross_k_scale[:, :, :, 0, 0],
+                        cache.cross_v_scale[:, :, :, 0, 0],
+                        li, s_valid=cross_len, int8_mxu=int8_mxu,
+                        interpret=interp,
+                    )
+                o = jnp.swapaxes(ctx, 1, 2)            # [B, H, T, Dh]
         elif cks is not None:
             o = _attend_int8(q, ck, cv, cks, cvs, precision)
         else:

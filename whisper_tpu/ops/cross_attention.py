@@ -193,6 +193,223 @@ def _kernel_int8_mxu(layer_ref, q_ref, qks_ref, vs_ref, kt_ref, v_ref,
     out_ref[0] = jnp.stack(outs, axis=0)                         # [G, 128]
 
 
+def _kernel_multi(layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
+                  *, n_g: int, s_valid: int, out_dtype):
+    """Multi-query generalization of _kernel for the speculative VERIFY
+    pass: E = T*n_g packed query rows (t-major: e = t*n_g + g) attend the
+    SAME per-layer KV block, which is streamed from HBM once per batch row
+    instead of once per token — the whole point of verifying K+1 draft
+    tokens in one pass (runtime/speculative.py).  Per-entry math is
+    IDENTICAL to _kernel's (same fp32 accumulation order along S), so each
+    token's context is bitwise what the single-query kernel would produce
+    — pinned by tests/test_cross_attention.py."""
+    del layer_ref
+    e_total = q_ref.shape[1]
+    s_pad = k_ref.shape[3]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, PACK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, PACK), 1)
+    sel = (lane // 64 == col).astype(jnp.float32)                # [128, 2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, PACK), 0)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    pv_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+
+    outs = []
+    for e in range(e_total):
+        g = e % n_g
+        q = q_ref[0, e, :].astype(jnp.float32)                   # [128]
+        qsel = q[:, None] * sel                                  # [128, 2]
+        k = k_ref[0, 0, g].astype(jnp.float32)                   # [S_pad,128]
+        scores = jnp.dot(k, qsel,
+                         preferred_element_type=jnp.float32)     # [S_pad,2]
+        scores = scores * ks_ref[0, 0, g][None, :]
+        scores = jnp.where(row < s_valid, scores, neg)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        eexp = jnp.exp(scores - m)
+        denom = jnp.sum(eexp, axis=0, keepdims=True)
+        probs = eexp / denom                                     # [S_pad, 2]
+
+        pm = jnp.dot(probs, sel.T,
+                     preferred_element_type=jnp.float32)         # [S_pad,128]
+        pm = pm.astype(pv_dtype)
+        v = v_ref[0, 0, g].astype(pv_dtype)                      # [S_pad,128]
+        ctx = jnp.sum((pm * v).astype(jnp.float32), axis=0)      # [128]
+
+        vs = vs_ref[0, 0, g]                                     # [2]
+        vsel = jnp.where(lane1 < 64, vs[0], vs[1])[0]            # [128]
+        outs.append((ctx * vsel).astype(out_dtype))
+    out_ref[0] = jnp.stack(outs, axis=0)                         # [E, 128]
+
+
+def _kernel_multi_int8_mxu(layer_ref, q_ref, qks_ref, vs_ref, kt_ref, v_ref,
+                           out_ref, *, n_g: int, s_valid: int, out_dtype):
+    """Multi-query generalization of _kernel_int8_mxu (x5) — per-entry
+    math identical (per-query q quantized outside, 7-bit probs in-kernel),
+    KV streamed once for all T queries."""
+    del layer_ref
+    e_total = q_ref.shape[1]
+    s_pad = kt_ref.shape[4]
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]  # [128]
+    colS = jax.lax.broadcasted_iota(jnp.int32, (PACK, s_pad), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (PACK, LANES), 1)
+    rowmask = lanes2 // 64 == rows2
+
+    low = lane1 < 64
+    outs = []
+    for e in range(e_total):
+        t, g = e // n_g, e % n_g
+        q8 = q_ref[0, e, :].astype(jnp.int32)                    # [128]
+        qT = jnp.where(rowmask, q8[None, :], 0).astype(jnp.int8)  # [2,128]
+        scores = jax.lax.dot_general(
+            qT, kt_ref[0, 0, g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                    # [2,S_pad]
+        scores = scores * qks_ref[0, t:t + 1,
+                                  PACK * g:PACK * g + PACK].T    # [2,1]
+        scores = jnp.where(colS < s_valid, scores, neg)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        eexp = jnp.exp(scores - m)                               # max = 1.0
+        denom = jnp.sum(eexp, axis=1, keepdims=True)
+        p8 = jnp.round(eexp * 127.0).astype(jnp.int8)            # [2,S_pad]
+
+        ctx = jax.lax.dot_general(
+            p8, v_ref[0, 0, g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                    # [2, 128]
+
+        s0 = vs_ref[0, 0, PACK * g] / (127.0 * denom[0, 0])
+        s1 = vs_ref[0, 0, PACK * g + 1] / (127.0 * denom[1, 0])
+        outs.append(jnp.where(low, ctx[0] * s0,
+                              ctx[1] * s1).astype(out_dtype))
+    out_ref[0] = jnp.stack(outs, axis=0)                         # [E, 128]
+
+
+def cross_attend_multi_packed_sharded(
+    q, k8, v8, k_scale, v_scale, layer, *,
+    s_valid: int, mesh, int8_mxu: bool = False, interpret: bool = False,
+):
+    """Mesh-aware multi-query wrapper (see cross_attend_step_packed_sharded
+    for why: the custom call has no GSPMD rule).  q: [B, T, H, 64]."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("model", 1)
+    h_ax = "model" if tp > 1 else None
+    qs = P("data", None, h_ax, None)
+    kv = P(None, "data", h_ax, None, None)
+    sc = P(None, "data", h_ax)
+
+    def body(q, k8, v8, ks, vs, layer):
+        return cross_attend_multi_packed(
+            q, k8, v8, ks, vs, layer, s_valid=s_valid, int8_mxu=int8_mxu,
+            interpret=interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(qs, kv, kv, sc, sc, P()),
+        out_specs=qs, check_vma=False,
+    )(q, k8, v8, k_scale, v_scale, layer)
+
+
+def cross_attend_multi_packed(
+    q: jax.Array,        # [B, T, H, 64] — already scaled by head_dim^-0.5
+    k8: jax.Array,       # as cross_attend_step_packed
+    v8: jax.Array,
+    k_scale: jax.Array,  # [L, B, H] fp32
+    v_scale: jax.Array,
+    layer: jax.Array,
+    *,
+    s_valid: int,
+    int8_mxu: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """T-query cross-attention against the packed int8 cache of ONE layer
+    (the speculative verify pass: T = draft_k + 1 tokens per round).
+
+    Same numerics per query as cross_attend_step_packed — each query row is
+    independent, so speculative decoding with a packed main cache stays
+    token-identical to packed greedy (tests/test_speculative.py) — but the
+    per-layer KV block is DMA'd from HBM once for all T queries instead of
+    once per token.  Returns ctx [B, T, H, 64] in q.dtype.
+    """
+    b, t, h, dh = q.shape
+    g = h // PACK
+    e_total = t * g
+    l, s_pad = k8.shape[0], v8.shape[3]
+    if int8_mxu:
+        assert k8.shape[3] == LANES and k8.shape[4] == s_pad, (
+            "int8_mxu expects the pack_cross_kv_t K layout", k8.shape)
+    ks = k_scale.astype(jnp.float32).reshape(l, b, g, PACK)
+    vs = v_scale.astype(jnp.float32).reshape(l, b, g, PACK)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if int8_mxu:
+        q32 = q.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)  # [B,T,H,1]
+        qscale = jnp.maximum(absmax, 1e-12) / 127.0
+        q_pk = jnp.clip(jnp.round(q32 / qscale), -127, 127).astype(
+            jnp.int8).reshape(b, e_total, LANES)  # t-major: e = t*G + g
+        ks_l = jax.lax.dynamic_index_in_dim(
+            k_scale.astype(jnp.float32), layer, 0, keepdims=False)  # [B, H]
+        vs_l = jax.lax.dynamic_index_in_dim(
+            v_scale.astype(jnp.float32), layer, 0, keepdims=False)
+        qks = qscale[..., 0] * ks_l[:, None, :]                  # [B, T, H]
+        vds = vs_l.reshape(b, 1, h)
+    else:
+        q_pk = q.astype(jnp.float32).reshape(b, e_total, LANES)
+
+    def _lidx(s):
+        return s[0] if getattr(s, "shape", ()) else s
+
+    q_spec = pl.BlockSpec((1, e_total, LANES), lambda i, s: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, g, s_pad, LANES),
+                           lambda i, s: (_lidx(s), i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, 1, g, PACK), lambda i, s: (_lidx(s), i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if int8_mxu:
+        kern = functools.partial(_kernel_multi_int8_mxu, n_g=g,
+                                 s_valid=s_valid, out_dtype=q.dtype)
+        qks_spec = pl.BlockSpec((1, t, h), lambda i, s: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        vds_spec = pl.BlockSpec((1, 1, h), lambda i, s: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        kt_spec = pl.BlockSpec((1, 1, g, LANES, s_pad),
+                               lambda i, s: (_lidx(s), i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs = [q_spec, qks_spec, vds_spec, kt_spec, kv_spec]
+        operands = (layer_arr, q_pk, qks, vds, k8, v8)
+    else:
+        kern = functools.partial(_kernel_multi, n_g=g, s_valid=s_valid,
+                                 out_dtype=q.dtype)
+        in_specs = [q_spec, kv_spec, kv_spec, sc_spec, sc_spec]
+        operands = (layer_arr, q_pk, k8, v8, ks, vs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, e_total, LANES), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, e_total, LANES), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * h * s_valid * dh * 2,
+            bytes_accessed=2 * b * g * s_pad * LANES
+            + b * t * h * dh * 8,
+            transcendentals=b * t * h * s_valid,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, t, h, dh)
+
+
 def cross_attend_step_packed_sharded(
     q, k8, v8, k_scale, v_scale, layer, *,
     s_valid: int, mesh, int8_mxu: bool = False, interpret: bool = False,

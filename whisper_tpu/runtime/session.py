@@ -754,7 +754,9 @@ class WhisperSession:
                     draft_k=draft_k, precision=precision,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_draft=self._packed_cross,
+                    packed_main=self._packed_cross,
                     int8_mxu=self._int8_mxu,
+                    mesh=self._mesh,
                 )
                 return tokens
 
@@ -1157,7 +1159,9 @@ class WhisperSession:
                     draft_k=draft_k, precision=precision,
                     int8_cross_kv=self.cfg.int8_kv_cache,
                     packed_draft=self._packed_cross,
+                    packed_main=self._packed_cross,
                     int8_mxu=self._int8_mxu,
+                    mesh=self._mesh,
                 )
                 return tokens
 

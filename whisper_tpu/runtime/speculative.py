@@ -31,10 +31,16 @@ from whisper_tpu.models import whisper
 from whisper_tpu.models.registry import WhisperDims
 
 
-def _verify_pass(params, dims, tokens, pos, cache, precision):
+def _verify_pass(params, dims, tokens, pos, cache, precision,
+                 cross_len=None, int8_mxu=False, mesh=None):
     """Multi-token decoder pass: tokens [B, K] at per-row positions
     [pos_r, pos_r+K); returns logits [B, K, V] and the updated cache (the
-    reuse of decoder_prefill's blocks with per-row offset causal masks)."""
+    reuse of decoder_prefill's blocks with per-row offset causal masks).
+
+    With a head-packed cross cache (cross_len set), cross-attention runs
+    the multi-query packed kernel (ops/cross_attention.py
+    cross_attend_multi_packed): one KV stream per layer for all K tokens,
+    per-query numerics identical to the single-token packed kernel."""
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
     b, k = tokens.shape
@@ -48,7 +54,8 @@ def _verify_pass(params, dims, tokens, pos, cache, precision):
     mask = (k_idx <= (pos[:, None, None] + q_idx))[:, None]    # [B,1,K,S]
 
     x, cache = whisper._decoder_blocks(
-        params, dims, x, cache, pos, mask, precision
+        params, dims, x, cache, pos, mask, precision,
+        cross_len=cross_len, int8_mxu=int8_mxu, mesh=mesh,
     )
     return whisper._logits(params, x, precision), cache
 
@@ -76,8 +83,19 @@ def speculative_generate(
                                   # advisory — the verify pass re-derives
                                   # every committed token — so drafter
                                   # kernel rounding cannot change output.
+    packed_main: bool = False,    # head-pack the MAIN model's int8 cross
+                                  # cache too: the K+1-token verify pass
+                                  # then runs the multi-query packed
+                                  # kernel (one KV stream per layer per
+                                  # round for all tokens). Per-query math
+                                  # identical to the single-token packed
+                                  # kernel, so output stays token-
+                                  # identical to packed greedy (x4/x5).
     int8_mxu: bool = False,       # int8xint8 MXU dots in the packed draft
                                   # step (x5 layout: transposed K)
+    mesh=None,                    # jax Mesh: run the packed kernels per
+                                  # shard via shard_map (multi-chip; same
+                                  # contract as greedy_generate's mesh arg)
 ):
     """Returns (tokens [B, max_new_tokens], n_rounds, n_committed [B]).
 
@@ -113,6 +131,14 @@ def speculative_generate(
         logits[:, -1, :].astype(jnp.float32) + first_suppress_mask, axis=-1
     ).astype(jnp.int32)  # [B]
 
+    # Same packing gate as greedy_generate; prefill ran unpacked (exactly
+    # as greedy's does), the verify passes then stream the packed layout.
+    m_cross_len = None
+    if (packed_main and int8_cross_kv and dims.head_dim == 64
+            and dims.decoder_heads % 2 == 0):
+        cache = whisper.pack_cross_cache(cache, transpose_k=int8_mxu)
+        m_cross_len = enc_states.shape[1]
+
     d_logits, d_cache = whisper.decoder_prefill(
         draft_params, draft_dims, tokens_p, draft_enc_states, max_len,
         precision=precision, int8_cross_kv=int8_cross_kv,
@@ -145,6 +171,7 @@ def speculative_generate(
                 draft_params, draft_dims, d_last, pos + i, d_cache,
                 precision=precision, cross_len=d_cross_len,
                 int8_mxu=int8_mxu if d_cross_len is not None else False,
+                mesh=mesh,
             )
             nxt = jnp.argmax(
                 lg.astype(jnp.float32) + suppress_mask, axis=-1
@@ -164,7 +191,10 @@ def speculative_generate(
             [last[:, None], drafts], axis=1
         )  # [B, K+1]
         v_logits, cache = _verify_pass(
-            params, dims, verify_in, pos, cache, precision
+            params, dims, verify_in, pos, cache, precision,
+            cross_len=m_cross_len,
+            int8_mxu=int8_mxu if m_cross_len is not None else False,
+            mesh=mesh,
         )
         targets = jnp.argmax(
             v_logits.astype(jnp.float32) + suppress_mask[None, None, :],
