@@ -252,6 +252,28 @@ class TestChunkedLongformSpeculative:
             sess.transcribe_from_mel(mel, [0], [3], 4, 2, speculative=True,
                                      num_beams=2)
 
+    def test_draft_k_zero_rejected(self, setup):
+        """draft_k < 1 would never advance n_gen and the on-device
+        while_loop would hang a TPU program (ADVICE r4, medium) — the
+        trace-time guard and the CLI both reject it."""
+        dims, params, draft, enc, enc_d = setup
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, []))
+        prompt = jnp.asarray([3], dtype=jnp.int32)
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="draft_k"):
+                speculative_generate(
+                    params, dims, draft, dims, enc, enc_d, prompt, mask,
+                    mask, max_new_tokens=4, eot_id=2, draft_k=bad,
+                )
+
+        from whisper_tpu.bench.cli import main as cli_main
+        rc = cli_main(["--audio-dir", "/nonexistent",
+                       "--model-id", "test/whisper-nano",
+                       "--allow-random-init",
+                       "--draft-model-id", "test/whisper-nano",
+                       "--draft-k", "0", "--out-csv", "/tmp/never.csv"])
+        assert rc == 2
+
     def test_pipelined_text_matches_greedy(self):
         """Pipelined mode (per-chunk norm, the headline-mode candidate)
         composes with speculation: same text as pipelined greedy."""
