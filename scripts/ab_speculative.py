@@ -2,10 +2,16 @@
 (VERDICT r3 item 5): batch-B chunk decoding at whisper-large-v3 dims with
 a distil-large-v3-shaped drafter (2-layer decoder sharing encoder dims).
 
-Random weights give the two honest endpoints real weights sit between:
+Random weights give honest endpoints real weights sit between:
 - drafter == verifier ("self"): perfect acceptance — exercises the
   verify-pass machinery at its best case (but draft steps cost full-model
   steps, so wall time is not the win; tokens/round is).
+- noise-perturbed verifier ("noisy"): the MAIN decoder with small relative
+  weight noise (--noise-sigma) — argmax chains agree until logit gaps
+  close, so acceptance lands MID-RANGE, giving a measured
+  (alpha, tokens/round) point between the endpoints that checks the
+  1 + alpha*k model empirically (drafter cost = full model here; the
+  distil arm measures the cost side).
 - independent random distil drafter ("distil"): ~zero acceptance — the
   per-round overhead floor.
 
@@ -46,7 +52,11 @@ def main() -> int:
                     help="measure the production x5 configuration: greedy "
                          "runs int8 cross-KV + packed int8-MXU kernels; "
                          "speculative runs int8_cross_kv + packed_draft + "
-                         "int8_mxu (the config the session plumbs)")
+                         "packed_main + int8_mxu (the config the session "
+                         "plumbs)")
+    ap.add_argument("--noise-sigma", type=float, default=0.03,
+                    help="relative weight noise for the mid-acceptance "
+                         "'noisy' drafter arm (0 disables the arm)")
     args = ap.parse_args()
 
     import jax
@@ -99,9 +109,32 @@ def main() -> int:
     print(f"greedy: {t_g*1e3:.2f} ms/program, {ms_tok_g:.3f} ms/token "
           f"(B={args.batch}, {args.max_new} steps)", flush=True)
 
+    arms = [("self", params, dims, enc)]
+    if args.noise_sigma > 0:
+        # Mid-acceptance drafter: the main model with small relative
+        # weight noise on the DECODER only (encoder shared with the main
+        # model, like a distil deployment).  Per-leaf noise scaled by the
+        # leaf's own std keeps every layer in-distribution.
+        nrng = np.random.default_rng(12345)
+
+        def _perturb(x):
+            a = np.asarray(x, dtype=np.float32)
+            if a.ndim == 0:
+                return x
+            s = float(a.std()) or 1.0
+            return jnp.asarray(
+                a + args.noise_sigma * s
+                * nrng.standard_normal(a.shape).astype(np.float32),
+                dtype=x.dtype)
+
+        n_params = dict(params)
+        n_params["decoder"] = jax.tree_util.tree_map(
+            _perturb, params["decoder"])
+        arms.append(("noisy", n_params, dims, enc))
+    arms.append(("distil", d_params, d_dims, enc_d))
+
     results = {}
-    for label, dp, dd, ed in (("self", params, dims, enc),
-                              ("distil", d_params, d_dims, enc_d)):
+    for label, dp, dd, ed in arms:
         s_fn = jax.jit(lambda p, dpp, e, edd, pr, mk, _dd=dd:
                        speculative_generate(
             p, dims, dpp, _dd, e, edd, pr, mk, mk,
@@ -118,12 +151,16 @@ def main() -> int:
         t_s = device_time(s_fn, (params, dp, enc, ed, prompt, mask))
         rounds = int(rounds)
         committed = int(np.asarray(n).sum())
-        tpr = committed / max(rounds, 1) / args.batch
+        # First token per row comes from PREFILL, not a verify round —
+        # exclude it so tokens/round maps cleanly onto 1 + alpha*k.
+        tpr = (committed - args.batch) / max(rounds, 1) / args.batch
         ms_tok = t_s * 1e3 / args.max_new
         t_round = t_s / max(rounds, 1)
+        alpha_m = max(0.0, (tpr - 1.0) / args.k)  # measured acceptance
         print(f"spec[{label}]: {t_s*1e3:.2f} ms/program, "
               f"{ms_tok:.3f} ms/token, {rounds} rounds, "
-              f"{tpr:.2f} tokens/round/row, lossless={'YES' if diff == 0 else f'NO ({diff} diffs)'}",
+              f"{tpr:.2f} tokens/round/row (alpha~{alpha_m:.2f}), "
+              f"lossless={'YES' if diff == 0 else f'NO ({diff} diffs)'}",
               flush=True)
         results[label] = (t_round, rounds)
 
