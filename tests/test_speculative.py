@@ -533,3 +533,58 @@ class TestInt8CrossKV:
         spec = sess.transcribe_short_speculative(audio, nvf, [3, 5], 8, 2)
         plain = sess.transcribe_short_batch(audio, nvf, [3, 5], 8, 2)
         np.testing.assert_array_equal(spec, plain)
+
+
+@pytest.mark.slow
+def test_randomized_lossless_sweep():
+    """Seeded property sweep: random (batch, draft_k, max_new, suppression,
+    drafter-fidelity) configs must all commit exactly the greedy chain —
+    the bug class this guards (acceptance/bonus/boundary bookkeeping in
+    the while-loop state machine) is exactly where hand-picked cases go
+    stale."""
+    dims = get_dims("test/whisper-nano")
+    params = init_params(dims, seed=0)
+    rng = np.random.default_rng(2024)
+
+    for trial in range(10):
+        b = int(rng.integers(1, 5))
+        k = int(rng.integers(1, 6))
+        max_new = int(rng.integers(2, 20))
+        n_sup = int(rng.integers(0, 4))
+        suppress = rng.choice(
+            np.arange(3, dims.vocab_size), size=n_sup, replace=False
+        ).tolist() if n_sup else []
+        fidelity = trial % 3  # 0: adversarial, 1: perfect, 2: noisy
+        if fidelity == 0:
+            draft = init_params(dims, seed=100 + trial)
+        elif fidelity == 1:
+            draft = params
+        else:
+            import jax
+
+            nr = np.random.default_rng(trial)
+            draft = jax.tree_util.tree_map(
+                lambda x: x + 0.05 * float(np.asarray(x).std() or 1.0)
+                * jnp.asarray(nr.standard_normal(np.shape(x)),
+                              dtype=x.dtype)
+                if np.ndim(x) else x,
+                params)
+
+        mel = rng.normal(0, 1, (b, dims.n_mels, 3000)).astype(np.float32)
+        enc = whisper.encoder_apply(params, dims, jnp.asarray(mel))
+        enc_d = whisper.encoder_apply(draft, dims, jnp.asarray(mel))
+        mask = jnp.asarray(build_suppress_mask(dims.vocab_size, suppress))
+        prompt = jnp.asarray([3, 5], dtype=jnp.int32)
+
+        want = np.asarray(greedy_generate(
+            params, dims, enc, prompt, mask, mask,
+            max_new_tokens=max_new, eot_id=2,
+        ))
+        got, rounds, n_gen = speculative_generate(
+            params, dims, draft, dims, enc, enc_d, prompt, mask, mask,
+            max_new_tokens=max_new, eot_id=2, draft_k=k,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), want,
+            err_msg=f"trial {trial}: b={b} k={k} max_new={max_new} "
+                    f"sup={suppress} fidelity={fidelity}")
