@@ -85,3 +85,89 @@ class TestKernel:
         toks = sess.transcribe_chunks(mel, prompt=[1, 2, 3],
                                       max_new_tokens=3, eot_id=5)
         assert toks.shape == (1, 3)
+
+
+class TestChunkedKernel:
+    """FFN-chunked variant (round 5): the whole-matrix kernel cannot fit
+    medium/large dims (d >= 1024) in VMEM, so round 3's promoted rung
+    silently fell back to the unfused chain there.  The chunked kernel
+    streams weight slices while the activation tile + fp32 accumulator
+    stay resident; same tanh-GELU numerics."""
+
+    def test_chunk_plan(self):
+        from whisper_tpu.ops.encoder_mlp import chunk_plan, fits_vmem
+
+        # base fits whole; medium/large need a chunk plan.
+        assert fits_vmem(512, 2048, jnp.bfloat16)
+        for d, f in [(1024, 4096), (1280, 5120)]:
+            assert not fits_vmem(d, f, jnp.bfloat16)
+            blk = chunk_plan(d, f, jnp.bfloat16)
+            assert blk is not None and blk % 128 == 0 and f % blk == 0
+            # double-buffered slice pair stays in the chunk budget
+            assert 4 * d * blk * 2 <= 6 * 2**20
+
+    @pytest.mark.parametrize("b,t,d,f", [
+        (1, 500, 1024, 4096),           # whisper-medium dims
+        pytest.param(1, 300, 1280, 5120, marks=pytest.mark.slow),
+    ])
+    def test_chunked_matches_reference(self, b, t, d, f):
+        from whisper_tpu.ops.encoder_mlp import chunk_plan, fused_encoder_mlp
+
+        blk = chunk_plan(d, f, jnp.bfloat16)
+        assert blk is not None
+        p = _params(d, f, seed=4)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (b, t, d)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        got = np.asarray(fused_encoder_mlp(
+            x, p["lns"], p["lnb"], p["w1"], p["b1"], p["w2"], p["b2"],
+            interpret=True, f_block=blk), dtype=np.float32)
+        want = np.asarray(_ref(x, p), dtype=np.float32)
+        denom = max(float(np.abs(want).max()), 1e-6)
+        assert float(np.abs(got - want).max()) / denom < 1e-2
+
+    def test_chunked_matches_whole_kernel_small_dims(self):
+        """At dims where BOTH kernels run, the chunked one must agree with
+        the whole-matrix kernel to fp tolerance (same math, reassociated
+        fp32 chunk adds)."""
+        from whisper_tpu.ops.encoder_mlp import fused_encoder_mlp
+
+        d, f = 128, 512
+        p = _params(d, f, seed=6)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(0, 1, (2, 400, d)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        whole = np.asarray(fused_encoder_mlp(
+            x, p["lns"], p["lnb"], p["w1"], p["b1"], p["w2"], p["b2"],
+            interpret=True), dtype=np.float32)
+        chunked = np.asarray(fused_encoder_mlp(
+            x, p["lns"], p["lnb"], p["w1"], p["b1"], p["w2"], p["b2"],
+            interpret=True, f_block=128), dtype=np.float32)
+        denom = max(float(np.abs(whole).max()), 1e-6)
+        assert float(np.abs(chunked - whole).max()) / denom < 3e-3
+
+    def test_encoder_engages_chunked_at_medium_dims(self):
+        """encoder_apply with fused_mlp at d=1024 must now take the fused
+        path (not the silent fallback) and stay close to the unfused
+        encoder (tanh-vs-exact GELU tolerance)."""
+        from whisper_tpu.models import whisper
+        from whisper_tpu.models.convert import init_params
+        from whisper_tpu.models.registry import WhisperDims
+
+        dims = WhisperDims(
+            n_mels=80, d_model=1024, encoder_layers=1, encoder_heads=16,
+            decoder_layers=1, decoder_heads=16, vocab_size=64,
+            max_source_positions=64, max_target_positions=16,
+        )
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(8)
+        mel = jnp.asarray(
+            rng.normal(0, 1, (1, dims.n_mels, 2 * dims.max_source_positions)
+                       ).astype(np.float32))
+        want = np.asarray(
+            whisper.encoder_apply(params, dims, mel), dtype=np.float32)
+        got = np.asarray(
+            whisper.encoder_apply(params, dims, mel, fused_mlp=True),
+            dtype=np.float32)
+        denom = max(float(np.abs(want).max()), 1e-6)
+        assert float(np.abs(got - want).max()) / denom < 2e-2

@@ -224,13 +224,21 @@ def encoder_apply(
         fused_block = eb.fits_vmem(dims.d_model, dims.d_ffn, dtype)
         if fused_block:
             fused_mlp = False
+    mlp_f_block = None
     if fused_mlp:
-        # VMEM guard: the fused kernel holds both dense matrices as
+        # VMEM guard: the whole-matrix kernel holds both dense matrices as
         # double-buffered VMEM constants; past ~medium dims they blow the
-        # 16 MB budget and Mosaic fails at compile time — fall back.
-        from whisper_tpu.ops.encoder_mlp import fits_vmem
+        # 16 MB budget and Mosaic fails at compile time.  At those dims
+        # switch to the FFN-chunked kernel (weight slices stream through
+        # VMEM while the activation tile + fp32 accumulator stay resident
+        # — round 5; previously this silently fell back to the unfused
+        # chain at exactly the model sizes with the largest per-layer
+        # HBM intermediates).
+        from whisper_tpu.ops.encoder_mlp import chunk_plan, fits_vmem
 
-        fused_mlp = fits_vmem(dims.d_model, dims.d_ffn, dtype)
+        if not fits_vmem(dims.d_model, dims.d_ffn, dtype):
+            mlp_f_block = chunk_plan(dims.d_model, dims.d_ffn, dtype)
+            fused_mlp = mlp_f_block is not None
 
     def _dq(w):
         return _dequant(w, dtype)
@@ -283,6 +291,7 @@ def encoder_apply(
                 _dequant(p["fc1_w"], x.dtype), p["fc1_b"],
                 _dequant(p["fc2_w"], x.dtype), p["fc2_b"],
                 interpret=jax.default_backend() != "tpu",
+                f_block=mlp_f_block,
             )
         else:
             r = _layer_norm(x, p["mlp_ln_s"], p["mlp_ln_b"])
