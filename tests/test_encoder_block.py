@@ -155,3 +155,79 @@ class TestEncoderApplyFusedBlock:
         assert a.shape == b.shape
         agree = int((a == b).all(axis=1).sum())
         assert agree >= 1, (a, b)
+
+
+class TestChunkedQkv:
+    """Round-5 weight-streaming variant (the STATUS note's 'revisit at
+    d>=1024' item): column-chunked ln_qkv + XLA O-proj + FFN-chunked MLP
+    compose the fused_block path at dims where the whole-matrix kernels
+    cannot fit VMEM."""
+
+    def test_qkv_chunk_plan(self):
+        from whisper_tpu.ops.encoder_block import qkv_chunk_plan
+
+        for d in (1024, 1280):
+            blk = qkv_chunk_plan(d, jnp.bfloat16)
+            assert blk is not None and blk % 128 == 0 and (3 * d) % blk == 0
+            assert 4 * d * blk * 2 <= 6 * 2**20
+
+    def test_chunked_matches_whole_kernel(self):
+        rng = np.random.default_rng(4)
+        b, t, d = 2, 300, 128
+        x = rng.normal(0, 1, (b, t, d)).astype(np.float32)
+        lns = rng.normal(1, 0.1, d).astype(np.float32)
+        lnb = rng.normal(0, 0.1, d).astype(np.float32)
+        w = rng.normal(0, 0.05, (d, 3 * d)).astype(np.float32)
+        bias = rng.normal(0, 0.1, 3 * d).astype(np.float32)
+
+        whole = fused_ln_qkv(
+            jnp.asarray(x), jnp.asarray(lns), jnp.asarray(lnb),
+            jnp.asarray(w), jnp.asarray(bias), interpret=True)
+        chunked = fused_ln_qkv(
+            jnp.asarray(x), jnp.asarray(lns), jnp.asarray(lnb),
+            jnp.asarray(w), jnp.asarray(bias), interpret=True, c_block=128)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                                   atol=2e-5)
+
+    def test_chunked_at_large_dims_matches_reference(self):
+        from whisper_tpu.ops.encoder_block import qkv_chunk_plan
+
+        rng = np.random.default_rng(5)
+        b, t, d = 1, 260, 1280
+        blk = qkv_chunk_plan(d, jnp.float32)
+        assert blk is not None
+        x = rng.normal(0, 1, (b, t, d)).astype(np.float32)
+        lns = rng.normal(1, 0.1, d).astype(np.float32)
+        lnb = rng.normal(0, 0.1, d).astype(np.float32)
+        w = rng.normal(0, 0.02, (d, 3 * d)).astype(np.float32)
+        bias = rng.normal(0, 0.1, 3 * d).astype(np.float32)
+        got = fused_ln_qkv(
+            jnp.asarray(x), jnp.asarray(lns), jnp.asarray(lnb),
+            jnp.asarray(w), jnp.asarray(bias), interpret=True, c_block=blk)
+        want = _ln(x, lns, lnb) @ w + bias
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
+                                   rtol=1e-4)
+
+    def test_encoder_engages_chunked_block_at_medium_dims(self):
+        """encoder_apply(fused_block=True) at d=1024 now takes the chunked
+        composition (not the silent fallback) and stays close to the
+        unfused encoder (tanh-vs-exact GELU tolerance)."""
+        from whisper_tpu.models.registry import WhisperDims
+
+        dims = WhisperDims(
+            n_mels=80, d_model=1024, encoder_layers=1, encoder_heads=16,
+            decoder_layers=1, decoder_heads=16, vocab_size=64,
+            max_source_positions=64, max_target_positions=16,
+        )
+        params = init_params(dims, seed=0)
+        rng = np.random.default_rng(6)
+        mel = jnp.asarray(
+            rng.normal(0, 1, (1, dims.n_mels, 2 * dims.max_source_positions)
+                       ).astype(np.float32))
+        want = np.asarray(
+            whisper.encoder_apply(params, dims, mel), dtype=np.float32)
+        got = np.asarray(
+            whisper.encoder_apply(params, dims, mel, fused_block=True),
+            dtype=np.float32)
+        denom = max(float(np.abs(want).max()), 1e-6)
+        assert float(np.abs(got - want).max()) / denom < 2e-2

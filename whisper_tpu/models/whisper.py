@@ -215,13 +215,32 @@ def encoder_apply(
     h = dims.encoder_heads
 
     i8 = int8_activations
+    fb_mode = None          # "whole" | "chunked" when fused_block engages
+    fb_qkv_c = None         # ln_qkv column chunk (chunked mode)
+    fb_mlp_f = None         # fused-MLP FFN chunk (chunked mode; None =
+                            # the whole-matrix MLP kernel fits)
     if fused_block:
         # Whole-layer fused path (ops/encoder_block.py): LN1+QKV kernel ->
         # fused attention -> O+residual+LN2+MLP+residual kernel.
-        # Supersedes fused_mlp; VMEM guard falls back past ~8 MB weights.
+        # Supersedes fused_mlp.  At dims past the VMEM budget (d >= 1024)
+        # the round-5 weight-streaming composition engages instead:
+        # column-chunked LN1+QKV kernel -> fused attention -> XLA O-proj +
+        # residual (the O-fold measured WORSE at base anyway) -> the
+        # FFN-chunked fused-MLP kernel.
         from whisper_tpu.ops import encoder_block as eb
+        from whisper_tpu.ops import encoder_mlp as em
 
-        fused_block = eb.fits_vmem(dims.d_model, dims.d_ffn, dtype)
+        if eb.fits_vmem(dims.d_model, dims.d_ffn, dtype):
+            fb_mode = "whole"
+        else:
+            fb_qkv_c = eb.qkv_chunk_plan(dims.d_model, dtype)
+            if not em.fits_vmem(dims.d_model, dims.d_ffn, dtype):
+                fb_mlp_f = em.chunk_plan(dims.d_model, dims.d_ffn, dtype)
+                mlp_ok = fb_mlp_f is not None
+            else:
+                mlp_ok = True
+            fb_mode = "chunked" if (fb_qkv_c is not None and mlp_ok) else None
+        fused_block = fb_mode is not None
         if fused_block:
             fused_mlp = False
     mlp_f_block = None
@@ -246,7 +265,10 @@ def encoder_apply(
     def block_fused(x, p):
         """One encoder layer via the ops/encoder_block.py kernel pair; the
         activations make exactly three HBM round trips per layer (qkv ->
-        attention -> out) instead of ~10 separate op fusions."""
+        attention -> out) instead of ~10 separate op fusions.  In
+        "chunked" mode (d >= 1024) the QKV kernel streams weight column
+        slices, O-proj+residual runs in XLA, and the MLP half uses the
+        FFN-chunked fused-MLP kernel."""
         from whisper_tpu.ops import encoder_block as eb
 
         interp = jax.default_backend() != "tpu"
@@ -256,15 +278,26 @@ def encoder_apply(
         b_qkv = jnp.concatenate(
             [p["q_b"], jnp.zeros_like(p["q_b"]), p["v_b"]])
         qkv = eb.fused_ln_qkv(x, p["attn_ln_s"], p["attn_ln_b"],
-                              w_qkv, b_qkv, interpret=interp)
+                              w_qkv, b_qkv, interpret=interp,
+                              c_block=fb_qkv_c)
         q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
         o = _attend(_split_heads(q, h), _split_heads(k, h),
                     _split_heads(v, h), None, precision, fused=True)
-        x = eb.fused_out_mlp(
-            x, _merge_heads(o), _dq(p["o_w"]), p["o_b"],
-            p["mlp_ln_s"], p["mlp_ln_b"],
-            _dq(p["fc1_w"]), p["fc1_b"], _dq(p["fc2_w"]), p["fc2_b"],
-            interpret=interp)
+        if fb_mode == "whole":
+            x = eb.fused_out_mlp(
+                x, _merge_heads(o), _dq(p["o_w"]), p["o_b"],
+                p["mlp_ln_s"], p["mlp_ln_b"],
+                _dq(p["fc1_w"]), p["fc1_b"], _dq(p["fc2_w"]), p["fc2_b"],
+                interpret=interp)
+        else:
+            from whisper_tpu.ops.encoder_mlp import fused_encoder_mlp
+
+            x = x + _dense(_merge_heads(o), p["o_w"], p["o_b"], precision)
+            x = fused_encoder_mlp(
+                x, p["mlp_ln_s"], p["mlp_ln_b"],
+                _dequant(p["fc1_w"], x.dtype), p["fc1_b"],
+                _dequant(p["fc2_w"], x.dtype), p["fc2_b"],
+                interpret=interp, f_block=fb_mlp_f)
         return x, None
 
     def block(x, p):

@@ -29,8 +29,15 @@ Quality bound: scripts/parity_matrix.py margin columns.
 VMEM budget at whisper-base (d=512, f=2048, bf16, ROWS=512):
   ln_qkv:  W [512,1536] 1.5 MB x2 (double-buffered) + io blocks ~2.5 MB
   out_mlp: O+FC1+FC2 4.5 MB x2 + io ~3 MB + fp32 intermediates ~5 MB
-Both inside the 16 MB budget; ``fits_vmem`` guards larger dims (medium+
-falls back to the unfused path, as with encoder_mlp).
+Both inside the 16 MB budget; ``fits_vmem`` guards larger dims.  Round 5:
+past the budget (d >= 1024) the fused_block path no longer silently
+falls back — models/whisper.py composes the weight-streaming variant
+instead: ``fused_ln_qkv(c_block=qkv_chunk_plan(...))`` (column-chunked
+weight slices, no accumulator — QKV columns are independent) -> fused
+attention -> XLA O-proj + residual (the O-fold measured WORSE at base
+anyway) -> the FFN-chunked fused-MLP kernel (encoder_mlp.chunk_plan).
+Device time at large dims is UNMEASURED until tpu_round5_queue step 4c
+runs; interpret-mode parity in tests/test_encoder_block.py.
 
 STATUS — MEASURED NEGATIVE RESULT (round 3, delta-method device time at
 bucket-16 whisper-base; docs/DECODE_ROOFLINE.md round-3 addendum):
@@ -70,6 +77,27 @@ def fits_vmem(d: int, f: int, dtype) -> bool:
     return 2 * (d * d + 2 * d * f) * itemsize <= _VMEM_WEIGHT_BUDGET
 
 
+ROWS_CHUNKED = 256
+_QKV_CHUNK_BUDGET = 6 * 2**20
+
+
+def qkv_chunk_plan(d: int, dtype) -> int | None:
+    """Output-column chunk size for fused_ln_qkv at dims where the whole
+    [d, 3d] weight cannot stay VMEM-resident (the round-5 weight-streaming
+    variant the round-3 STATUS note asked for).  Unlike the MLP's FC2,
+    QKV columns are independent — no accumulator needed; each (row, col)
+    grid step writes its own output block.  Largest lane-aligned divisor
+    of 3d inside the double-buffered chunk budget, or None."""
+    itemsize = jnp.dtype(dtype).itemsize
+    best = None
+    blk = 128
+    while blk <= 3 * d:
+        if (3 * d) % blk == 0 and 4 * d * blk * itemsize <= _QKV_CHUNK_BUDGET:
+            best = blk
+        blk += 128
+    return best
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: LN1 -> packed QKV projection
 # ---------------------------------------------------------------------------
@@ -88,37 +116,64 @@ def _ln_qkv_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref):
     o_ref[...] = y.astype(x_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "c_block"))
 def fused_ln_qkv(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
                  w_qkv: jax.Array, b_qkv: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 c_block: int | None = None) -> jax.Array:
     """x [B, T, d] -> LN(x) @ w_qkv + b_qkv as [B, T, 3d].
 
     ``w_qkv`` is the concatenation [q_w | k_w | v_w] along the output axis
     (K has no bias in Whisper — pass zeros in b_qkv's middle third).  The
-    caller slices the thirds and splits heads."""
+    caller slices the thirds and splits heads.
+
+    c_block (qkv_chunk_plan) streams [d, c_block] weight slices through
+    VMEM for dims whose whole [d, 3d] weight cannot fit (d >= 1024): grid
+    (row_blocks, col_chunks), LN recomputed per chunk (VPU-cheap), same
+    kernel body — each grid step writes its own independent output
+    columns."""
     b, t, d = x.shape
     d3 = w_qkv.shape[1]
     n = b * t
-    n_pad = _round_up(n, ROWS)
+    rows = ROWS_CHUNKED if c_block else ROWS
+    n_pad = _round_up(n, rows)
     xf = x.reshape(n, d)
     if n_pad != n:
         xf = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
 
-    out = pl.pallas_call(
-        _ln_qkv_kernel,
-        grid=(n_pad // ROWS,),
-        in_specs=[
-            pl.BlockSpec((ROWS, d), lambda i: (i, 0),
+    if c_block:
+        grid = (n_pad // rows, d3 // c_block)
+        in_specs = [
+            pl.BlockSpec((rows, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, c_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((rows, c_block), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (n_pad // rows,)
+        in_specs = [
+            pl.BlockSpec((rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d3,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ROWS, d3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((rows, d3), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _ln_qkv_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d3), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d * d3,
