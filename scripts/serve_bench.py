@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--model-id", default="openai/whisper-base")
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--draft-model-id", default="",
+                    help="attach a random-init draft of this registry id: "
+                         "the engine's ticks then take the speculative leg "
+                         "(random drafts = the adversarial acceptance "
+                         "endpoint; measures the speculative serving "
+                         "path's overhead floor)")
+    ap.add_argument("--draft-share-encoder", action="store_true")
     args = ap.parse_args()
 
     from whisper_tpu.models.convert import init_params
@@ -46,6 +53,10 @@ def main() -> int:
     params = init_params(dims, seed=0)
     cfg, _ = apply_variant(RuntimeCfg(), args.variant)
     session = WhisperSession(params, dims, cfg)
+    if args.draft_model_id:
+        d_dims = get_dims(args.draft_model_id)
+        session.set_draft_model(init_params(d_dims, seed=1), d_dims,
+                                share_encoder=args.draft_share_encoder)
     eng = StreamingEngine(
         session,
         cfg=EngineConfig(max_new_tokens=args.max_new_tokens,
