@@ -119,8 +119,10 @@ def main() -> None:
     # BENCH_WIRE=int16|dint16|ulaw8|f32 overrides; default "auto" probes.
     # "auto" races the lossless encodings; "auto-pcm" additionally races
     # the bit-packed truncated-PCM ones (pcm14/pcm12 — 12.5%/25% fewer
-    # wire bytes on a non-compressing link; token-A/B'd identical at
-    # whisper-base dims, utils/pcmpack.py).
+    # wire bytes on a non-compressing link; LOSSY: ~6.7e-4 mel deviation,
+    # measured to flip tokens on the random-init long-form chain — r5
+    # device A/B + CPU repro — so the default stays lossless and every
+    # JSON line names the encoding it used, utils/pcmpack.py).
     wire = os.environ.get("BENCH_WIRE", "auto")
     wire_mbps = None
     if wire in ("auto", "auto-pcm"):
@@ -192,6 +194,10 @@ def main() -> None:
     }
     if wire_mbps is not None:
         out["wire_mbps"] = wire_mbps
+    # Self-describing provenance: which wire encoding produced this number
+    # (pcm12/pcm14 are lossy truncations — a headline that used one must
+    # say so; default "auto" only ever picks bit-exact encodings).
+    out["wire"] = cfg.audio_transfer
     print(json.dumps(out))
 
     # Wedge-proofing (VERDICT r4 item 2): every successful run also

@@ -23,8 +23,11 @@ timeout 2400 python scripts/ab_transfer.py 5 int16,pcm12 >>"$OUT" 2>&1
 
 step "2. compilation cache on the axon backend (2nd process should skip compiles)"
 for run in 1 2; do
-  /usr/bin/time -f "cache run $run: %e s wall" timeout 1800 python - >>"$OUT" 2>&1 <<'EOF'
+  # NB: /usr/bin/time does not exist on this box (r5 run failed on it);
+  # the python child prints its own wall totals instead.
+  timeout 1800 python - >>"$OUT" 2>&1 <<'EOF'
 import time, numpy as np
+t_start = time.perf_counter()
 from whisper_tpu.utils.compilecache import enable_compilation_cache
 print("cache dir:", enable_compilation_cache())
 from whisper_tpu.models.convert import init_params
@@ -36,7 +39,8 @@ t0 = time.perf_counter()
 rng = np.random.default_rng(0)
 mel = rng.normal(0, 0.5, (2, dims.n_mels, 3000)).astype(np.float32)
 sess.transcribe_chunks(mel, prompt=[3], max_new_tokens=4, eot_id=2)
-print(f"first transcribe (incl. compile): {time.perf_counter()-t0:.1f}s")
+print(f"first transcribe (incl. compile): {time.perf_counter()-t0:.1f}s; "
+      f"process total: {time.perf_counter()-t_start:.1f}s")
 EOF
 done
 
