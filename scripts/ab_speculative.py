@@ -142,8 +142,17 @@ def main() -> int:
             int8_cross_kv=q8, packed_draft=q8, packed_main=q8,
             int8_mxu=q8))
         t0 = time.perf_counter()
-        toks, rounds, n = jax.block_until_ready(
-            s_fn(params, dp, enc, ed, prompt, mask))
+        try:
+            toks, rounds, n = jax.block_until_ready(
+                s_fn(params, dp, enc, ed, prompt, mask))
+        except Exception as e:  # noqa: BLE001 — isolate arms: an HBM OOM
+            # on one arm (bf16 large-v3 keeps TWO full cross caches:
+            # ~7.9 GB each at B=16 -> >15.75 GB HBM; measured 2026-08-19)
+            # must not lose the remaining arms' measurements.
+            msg = str(e).splitlines()[0][:200]
+            print(f"spec[{label}]: FAILED ({type(e).__name__}: {msg}) — "
+                  f"skipping arm; try a smaller --batch", flush=True)
+            continue
         print(f"spec[{label}]: compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
         toks = np.asarray(toks)
@@ -167,6 +176,10 @@ def main() -> int:
     # Breakeven acceptance: per-round cost from the distil run (cheap
     # drafter), tokens/round = 1 + alpha*k -> alpha* solves
     # t_round/(1+alpha*k) = t_g/max_new.
+    if "distil" not in results:
+        print("breakeven: distil arm missing — no cheap-drafter round cost",
+              flush=True)
+        return 0
     t_round = results["distil"][0]
     per_tok_g = t_g / args.max_new
     alpha_star = (t_round / per_tok_g - 1.0) / args.k
