@@ -57,6 +57,9 @@ def main() -> int:
     ap.add_argument("--noise-sigma", type=float, default=0.03,
                     help="relative weight noise for the mid-acceptance "
                          "'noisy' drafter arm (0 disables the arm)")
+    ap.add_argument("--hbm-gb", type=float, default=15.75,
+                    help="chip HBM capacity used by the pre-compile "
+                         "footprint gate (v5e default; 0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -134,7 +137,27 @@ def main() -> int:
     arms.append(("distil", d_params, d_dims, enc_d))
 
     results = {}
+    from whisper_tpu.utils import hbm
+
     for label, dp, dd, ed in arms:
+        # Pre-compile HBM gate: a doomed config costs ~10-30 min of remote
+        # XLA compile before the RESOURCE_EXHAUSTED arrives (the bf16
+        # B=16 arm measured 17.52 GB needed vs 15.75 GB, 2026-08-19).
+        if args.hbm_gb > 0:
+            fp = hbm.decode_footprint(
+                dims, args.batch, int(prompt.shape[0]) + args.max_new,
+                weight_bytes=2 if args.dtype == "bfloat16" else 4,
+                kv_bytes=2 if args.dtype == "bfloat16" else 4,
+                int8_cross=q8, draft_dims=dd,
+                shared_draft_params=(dp is params),
+                cache_copies=2.0,
+            )
+            warn = hbm.check_fit(fp, int(args.hbm_gb * (1 << 30)),
+                                 label=f"spec[{label}]")
+            if warn:
+                print(f"spec[{label}]: SKIPPED pre-compile — {warn}",
+                      flush=True)
+                continue
         s_fn = jax.jit(lambda p, dpp, e, edd, pr, mk, _dd=dd:
                        speculative_generate(
             p, dims, dpp, _dd, e, edd, pr, mk, mk,

@@ -91,7 +91,12 @@ def main() -> int:
 
     sport = _free_port()
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # PREPEND, don't clobber: the axon TPU plugin is discovered via an
+    # existing PYTHONPATH entry (/root/.axon_site); overwriting it made the
+    # server subprocess die with "Backend 'axon' is not in the list of known
+    # backends" (queue3 log 07:39Z).
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     srv = subprocess.Popen(
         [sys.executable, "-m", "whisper_tpu.serve.server",
          "--allow-random-init", "--model-id", args.model_id,

@@ -73,11 +73,15 @@ MODEL_REGISTRY: Dict[str, WhisperDims] = {
 
 
 def get_dims(model_id: str) -> WhisperDims:
-    """Look up dims for a model id; accepts bare names like 'whisper-base'."""
+    """Look up dims for a model id; accepts bare names like 'whisper-base'
+    and the barest CLI shorthand ('base', 'large-v3') the reference's
+    scripts use (/root/reference/src/main.rs model-id handling is a plain
+    string; our registry normalizes instead)."""
     if model_id in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_id]
     for key in MODEL_REGISTRY:
-        if key.split("/", 1)[-1] == model_id:
+        suffix = key.split("/", 1)[-1]
+        if suffix == model_id or suffix == f"whisper-{model_id}":
             return MODEL_REGISTRY[key]
     raise KeyError(
         f"Unknown model id {model_id!r}; known: {sorted(MODEL_REGISTRY)}"

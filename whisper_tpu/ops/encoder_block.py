@@ -134,6 +134,10 @@ def fused_ln_qkv(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
     columns."""
     b, t, d = x.shape
     d3 = w_qkv.shape[1]
+    # [1, n] 2D vector operands — Mosaic rejects XLA's 1D bf16 layout at
+    # larger sizes (see ops/encoder_mlp.py fused_encoder_mlp).
+    ln_s, ln_b = ln_s.reshape(1, d), ln_b.reshape(1, d)
+    b_qkv = b_qkv.reshape(1, d3)
     n = b * t
     rows = ROWS_CHUNKED if c_block else ROWS
     n_pad = _round_up(n, rows)
@@ -146,11 +150,13 @@ def fused_ln_qkv(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
         in_specs = [
             pl.BlockSpec((rows, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((d, c_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_block,), lambda i, j: (j,),
+            pl.BlockSpec((1, c_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ]
         out_spec = pl.BlockSpec((rows, c_block), lambda i, j: (i, j),
@@ -160,11 +166,11 @@ def fused_ln_qkv(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
         in_specs = [
             pl.BlockSpec((rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         out_spec = pl.BlockSpec((rows, d3), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -233,6 +239,9 @@ def fused_out_mlp(x: jax.Array, ctx: jax.Array,
     per row block."""
     b, t, d = x.shape
     f = w1.shape[1]
+    # [1, n] 2D vector operands — see ops/encoder_mlp.py fused_encoder_mlp.
+    o_b, ln_s, ln_b = o_b.reshape(1, d), ln_s.reshape(1, d), ln_b.reshape(1, d)
+    b1, b2 = b1.reshape(1, f), b2.reshape(1, d)
     n = b * t
     n_pad = _round_up(n, ROWS)
     xf = x.reshape(n, d)
@@ -243,8 +252,8 @@ def fused_out_mlp(x: jax.Array, ctx: jax.Array,
 
     row_spec = pl.BlockSpec((ROWS, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    vec_d = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
-    vec_f = pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM)
+    vec_d = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_f = pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _out_mlp_kernel,
         grid=(n_pad // ROWS,),

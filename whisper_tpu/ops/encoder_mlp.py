@@ -166,15 +166,18 @@ def _fused_mlp_chunked(xf, ln_s, ln_b, w1, b1, w2, b2, f_block, interpret):
         in_specs=[
             pl.BlockSpec((ROWS_CHUNKED, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((d, f_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_block,), lambda i, j: (j,),
+            pl.BlockSpec((1, f_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f_block, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ROWS_CHUNKED, d), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -199,6 +202,12 @@ def fused_encoder_mlp(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
     None = the original whole-matrix kernel."""
     b, t, d = x.shape
     f = w1.shape[1]
+    # Vector operands go in as [1, n] 2D arrays: Mosaic rejects XLA's 1D
+    # bf16 layout at larger sizes (bf16[5120] tiles T(1024)(128) in XLA vs
+    # T(512)(128) in Mosaic — queue3 step 4c failure at large-v3); the 2D
+    # form has one well-defined (sublane, lane) tiling at every size.
+    ln_s, ln_b = ln_s.reshape(1, d), ln_b.reshape(1, d)
+    b1, b2 = b1.reshape(1, f), b2.reshape(1, d)
     n = b * t
     rows = ROWS_CHUNKED if f_block else ROWS
     n_pad = _round_up(n, rows)
@@ -218,14 +227,14 @@ def fused_encoder_mlp(x: jax.Array, ln_s: jax.Array, ln_b: jax.Array,
         in_specs=[
             pl.BlockSpec((ROWS, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
