@@ -69,6 +69,11 @@ timeout 5400 python scripts/model_scaling_bench.py \
   --models large-v3 --variant x6 --reps 3 >>"$OUT" 2>&1 || true
 snapshot_logs
 
+step "4b. serving aggregate at r2 scale (64x30s, trimmed ticks)"
+timeout 5400 python scripts/serve_bench.py --streams 64 --seconds 30 \
+  --variant x5 >>"$OUT" 2>&1 || true
+snapshot_logs
+
 step "5. router-fronted serving drive (fixed PYTHONPATH)"
 timeout 3600 python scripts/serve_router_drive.py --streams 16 \
   --seconds 2 --variant x5 >>"$OUT" 2>&1 || true

@@ -75,3 +75,24 @@ def test_budget_env_override(monkeypatch):
 def test_unknown_budget_never_warns():
     fp = {"params": 1 << 40, "total": 1 << 40}
     assert hbm.check_fit(fp, 0) is None
+
+
+def test_set_draft_model_warns_on_tiny_budget(monkeypatch):
+    """Attach-time sizing: a draft config that cannot fit the (env-
+    declared) HBM budget raises a ResourceWarning at set_draft_model, not
+    a RESOURCE_EXHAUSTED after a multi-minute remote compile."""
+    from whisper_tpu.runtime.session import RuntimeCfg, WhisperSession
+
+    dims = get_dims("test/whisper-nano")
+    params = convert.init_params(dims, seed=0)
+    sess = WhisperSession(params, dims,
+                          RuntimeCfg(dtype="float32", max_batch=2))
+    monkeypatch.setenv("WHISPER_TPU_HBM_GB", "0.001")
+    with pytest.warns(ResourceWarning, match="speculative decode"):
+        sess.set_draft_model(convert.init_params(dims, seed=1), dims)
+    # A sane budget stays silent.
+    monkeypatch.setenv("WHISPER_TPU_HBM_GB", "15.75")
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", ResourceWarning)
+        sess.set_draft_model(convert.init_params(dims, seed=1), dims)

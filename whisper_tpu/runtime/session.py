@@ -1071,6 +1071,34 @@ class WhisperSession:
                        draft_dims)
         self._draft_share_encoder = bool(share_encoder)
 
+        # Pre-compile HBM sizing: a speculative program keeps BOTH models'
+        # params + KV caches resident (plus XLA's ~2x loop-carried cache
+        # copies); a config that cannot fit costs ~10-30 min of remote XLA
+        # compile before RESOURCE_EXHAUSTED arrives (measured 2026-08-19:
+        # large-v3 bf16 B=16 needed 17.52 of 15.75 GB). Warn here, at
+        # attach time, while the operator can still shrink max_batch.
+        try:
+            import warnings
+
+            from whisper_tpu.utils import hbm
+
+            wb = jnp.dtype(self.cfg.jnp_dtype).itemsize
+            # max_len 132 = prompt(4) + the chunk-decode default max_new
+            # (128); the cross caches dominate the total anyway (1500
+            # encoder positions vs <=132 self positions).
+            fp = hbm.decode_footprint(
+                self.dims, self.cfg.max_batch, 132,
+                weight_bytes=wb, kv_bytes=wb,
+                int8_cross=self.cfg.int8_kv_cache,
+                draft_dims=draft_dims, cache_copies=2.0,
+            )
+            warn = hbm.check_fit(fp, label="speculative decode "
+                                 f"(max_batch={self.cfg.max_batch})")
+            if warn:
+                warnings.warn(warn, ResourceWarning, stacklevel=2)
+        except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+            pass
+
     @property
     def has_draft(self) -> bool:
         return getattr(self, "_draft", None) is not None
