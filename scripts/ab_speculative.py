@@ -11,7 +11,12 @@ Random weights give honest endpoints real weights sit between:
   close, so acceptance lands MID-RANGE, giving a measured
   (alpha, tokens/round) point between the endpoints that checks the
   1 + alpha*k model empirically (drafter cost = full model here; the
-  distil arm measures the cost side).
+  distil arm measures the cost side).  CAVEAT (measured 2026-08-19):
+  on RANDOM-INIT weights the top-2 logit gaps are near zero, so even
+  sigma=0.03 collapses acceptance to alpha~0.01 — the arm only lands
+  mid-range on trained weights.  The breakeven math does not need it:
+  alpha*=greedy-vs-round-cost uses the self (alpha=1) and distil
+  (cost-floor) arms alone.
 - independent random distil drafter ("distil"): ~zero acceptance — the
   per-round overhead floor.
 
