@@ -3,11 +3,30 @@
 XLA cannot fuse matmul -> softmax -> matmul on TPU, so the plain-jnp
 encoder attention materializes fp32 scores [B, H, 1500, 1500] in HBM
 (~1.5 GB at whisper-base batch 16) — measured as the dominant encoder cost.
-This kernel keeps the whole score block in VMEM: per (batch*head, q-block)
-grid step it loads K/V fully (1500x64 bf16 = 192 KB each — VMEM-resident,
-no flash tiling needed at Whisper's fixed T=1500), computes scores + softmax
-in fp32 on-chip, and writes only the [TQ, Dh] output. HBM traffic drops
-from O(T^2) to O(T*Dh).
+This kernel keeps the whole score block in VMEM: per (batch*head) grid step
+it loads Q/K/V fully (1500x64 bf16 = 192 KB each — VMEM-resident, no flash
+tiling needed at Whisper's fixed T=1500), computes scores + softmax in fp32
+on-chip in static Q_CHUNK-row slabs, and writes only [T, Dh] back.  HBM
+traffic drops from O(T^2) to O(T*Dh).
+
+Layout notes (round-5 rework, same numerics bit-for-bit):
+- No operand padding at all.  Whisper's T=1500 is not divisible by any
+  Mosaic-legal tile (8-multiple), so a q-grid needs a 1500->1536 round-up —
+  measured as three HBM pad copies + a slice-back that dominated the
+  encoder's layout overhead at large-v3 (docs/DECODE_ROOFLINE.md round-5
+  addendum 2).  Instead every block spans its exact array dims (always
+  legal), and the q rows are covered by a STATIC in-kernel chunk loop whose
+  ragged tail (rows 1280:1500) Mosaic masks for free.
+- One program per (batch*head) instead of six: grid-step overhead is real
+  on this stack (CLAUDE.md), and the chunk loop is a static unroll inside
+  a single program.
+- Q_CHUNK swept on-device (128/256/512/1024/1500, all bitwise-equal —
+  softmax is row-wise, so slabbing cannot change results): 1024 and
+  whole-row tie for fastest; 1024 keeps the fp32 score slab at 6.1 MB
+  (vs 9 MB whole-row) for VMEM headroom.
+- Measured (delta method, one process, 2026-08-19): 1.52 -> 1.22 ms/call at
+  whisper-base dims (16,8,1500,64), 5.6 -> 3.52 ms/call at large-v3 dims
+  (16,20,1500,64) vs the padded q-grid version; outputs bitwise equal.
 
 Used for encoder self-attention in the x3+ variants; the parity rungs keep
 the jnp path (different accumulation order).
@@ -22,29 +41,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-Q_BLOCK = 256
+Q_CHUNK = 1024
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int):
-    q = q_ref[0]                      # [TQ, Dh]
-    k = k_ref[0]                      # [T_pad, Dh]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t: int):
+    k = k_ref[0]                      # [T, Dh] — exact T, no pad columns
     v = v_ref[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                  # [TQ, T_pad] fp32, VMEM only
-    t_pad = scores.shape[-1]
-    if t_pad > t_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < t_valid, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    # Mosaic requires 32-bit matmul accumulation; cast down after.
-    o_ref[0] = jnp.dot(
-        probs, v, preferred_element_type=jnp.float32
-    ).astype(q.dtype)
-
-
-from whisper_tpu.ops.common import round_up as _round_up
+    for i0 in range(0, t, Q_CHUNK):   # static unroll; tail slab is ragged
+        i1 = min(i0 + Q_CHUNK, t)
+        q = q_ref[0, i0:i1, :]        # [tq_i, Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # [tq_i, T] fp32, VMEM only
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        # Mosaic requires 32-bit matmul accumulation; cast down after.
+        o_ref[0, i0:i1, :] = jnp.dot(
+            probs, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -55,41 +69,28 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     q must already be scaled (the model pre-scales by Dh^-0.5, matching the
     HF operator order the reference's ONNX graphs inherit)."""
     b, h, t, dh = q.shape
-    t_pad = _round_up(t, 128)
-    tq = min(Q_BLOCK, t_pad)
-    # The q-grid tiles t_pad in tq blocks; t_pad must divide evenly or the
-    # trailing partial block's rows would never be written (latent for
-    # Whisper's t=1500 -> 1536 = 6*256, but e.g. t=300 -> 384 would lose
-    # rows 256..299).  Round up to the block size, not just 128.
-    t_pad = _round_up(t_pad, tq)
-
     qf = q.reshape(b * h, t, dh)
     kf = k.reshape(b * h, t, dh)
     vf = v.reshape(b * h, t, dh)
-    if t_pad != t:
-        pad = ((0, 0), (0, t_pad - t), (0, 0))
-        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
-
-    grid = (b * h, t_pad // tq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, t_valid=t),
-        grid=grid,
+        functools.partial(_attn_kernel, t=t),
+        grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, tq, dh), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, dh), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t_pad * t_pad * dh,
-            bytes_accessed=4 * b * h * t_pad * dh * q.dtype.itemsize,
-            transcendentals=b * h * t_pad * t_pad,
+            flops=4 * b * h * t * t * dh,
+            bytes_accessed=4 * b * h * t * dh * q.dtype.itemsize,
+            transcendentals=b * h * t * t,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :t, :].reshape(b, h, t, dh)
+    return out.reshape(b, h, t, dh)
